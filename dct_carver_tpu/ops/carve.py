@@ -1,0 +1,220 @@
+"""The multi-seam carve loop — static shapes, dynamic logical width.
+
+XLA traces everything once: the whole N-seam carve is ONE jitted program.
+Buffers keep the original width W0; a scalar `width` tracks the logical width
+and columns >= width form a "dead region" that is (a) edge-filled in the luma
+plane so window clamping matches the reference's border behavior
+(`src/render.c:122-132`), and (b) masked to +inf in the energy so the DP never
+enters it.  This replaces the reference's realloc-per-seam carver state with a
+TPU-friendly fixed layout.
+
+Seam bookkeeping matches liblqr's visibility maps (`src/render.c:204-240`):
+`vmap[y, x_original] = k` if the pixel was removed by the k-th seam, else 0.
+
+Energy recomputation between seams supports two modes with identical results
+(asserted in tests):
+  * full  — recompute the whole map every seam (simple; the semantics anchor);
+  * strip — recompute only a static-width strip around the removed seam; a
+    pixel's energy can only change if its (2r×2r) window overlaps a changed
+    column, and seam columns drift <= 1/row (delta_x=1), so a half-width of
+    2r ( + 1 slack) columns around the seam covers every affected window.
+    This is the moral equivalent of liblqr's incremental energy update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .dct import dct_energy_map, energy_from_bands
+from .dp import cumulative_energy, backtrack, mask_energy, remove_seam
+
+__all__ = ["CarveState", "carve_n_seams", "make_state", "reconstruct_removed", "reconstruct_enlarged"]
+
+
+class CarveState(NamedTuple):
+    luma: jax.Array     # (H, W0) float — current image, dead region edge-filled
+    origcol: jax.Array  # (H, W0) int32 — original column of each current pixel
+    vmap: jax.Array     # (H, W0) int32 — visibility map in ORIGINAL coordinates
+    width: jax.Array    # () int32 — logical width
+    energy: jax.Array   # (H, W0) float32 — current energy (dead region garbage)
+
+
+def make_state(luma: jax.Array) -> CarveState:
+    H, W = luma.shape
+    return CarveState(
+        luma=luma,
+        origcol=jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W)),
+        vmap=jnp.zeros((H, W), jnp.int32),
+        width=jnp.asarray(W, jnp.int32),
+        energy=jnp.zeros((H, W), jnp.float32),
+    )
+
+
+def _edge_fill(luma: jax.Array, width: jax.Array) -> jax.Array:
+    """Replicate column width-1 into the dead region (border clamp semantics)."""
+    H, W = luma.shape
+    edge = jnp.take_along_axis(luma, jnp.broadcast_to(width - 1, (H, 1)), axis=1)
+    col = jnp.arange(W)[None, :]
+    return jnp.where(col < width, luma, edge)
+
+
+def _strip_bounds(seam: jax.Array, blocksize: int, W: int):
+    """Static-width strip around a removed seam covering all affected windows.
+
+    After removing column s_i in row i, a pixel (i, j) (new indexing) has a
+    changed window iff some row r within the window's vertical extent has
+    |j - s_r| <= r_blk (+1 for the index shift).  |s_r - s_i| <= blocksize/2
+    within the extent, so half-width = blocksize + 1 suffices.
+    """
+    half = blocksize + 1
+    strip_w = 2 * half + 2  # a little slack; static
+    start = jnp.clip(seam - half, 0, max(W - strip_w, 0))
+    return start, strip_w
+
+
+def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
+                     edges, textures) -> jax.Array:
+    """Compacted energy with only the seam strip recomputed.
+
+    The old energy is compacted with the same select-shift as the image; then
+    a per-output-row 3-D band (each output row carries its own n source rows ×
+    strip columns — per-row starts, so NO vertical shear) is gathered and fed
+    through the SAME `energy_from_bands` core as the full path, making the
+    recomputed strip bitwise equal to a full recompute.
+    """
+    H, W = state.luma.shape
+    n = blocksize
+    r = n // 2
+    E_shift = remove_seam(state.energy, seam)
+    start, strip_w = _strip_bounds(seam, n, W)
+
+    gW = strip_w + n - 1  # window taps: cols j-r+1 .. j+r around each strip col
+    row_idx = jnp.clip(
+        jnp.arange(H)[:, None] + jnp.arange(-r + 1, r + 1)[None, :], 0, H - 1
+    )  # (H, n)
+    col_idx = jnp.clip(
+        (start - (r - 1))[:, None] + jnp.arange(gW)[None, :], 0, W - 1
+    )  # (H, gW); dead region is edge-filled, so the clamp to the buffer edge
+    #    reads the logical-edge value, matching the full path's padding
+    band = state.luma[row_idx[:, :, None], col_idx[:, None, :]]  # (H, n, gW)
+    strip_E = energy_from_bands(band, n, edges, textures).astype(jnp.float32)
+
+    # scatter the strip back at per-row starts
+    tgt_cols = start[:, None] + jnp.arange(strip_w)[None, :]
+    rows = jnp.broadcast_to(jnp.arange(H)[:, None], (H, strip_w))
+    return E_shift.at[rows, tgt_cols].set(strip_E)
+
+
+def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
+              strip_update: bool) -> CarveState:
+    H, W = state.luma.shape
+    E = mask_energy(state.energy, state.width)
+    M = cumulative_energy(E)
+    seam = backtrack(M)
+
+    # record k-th seam at original coordinates (src/render.c:204-240 semantics)
+    rows = jnp.arange(H)
+    orig = state.origcol[rows, seam]
+    vmap = state.vmap.at[rows, orig].set(k)
+
+    new_width = state.width - 1
+    luma = _edge_fill(remove_seam(state.luma, seam), new_width)
+    origcol = remove_seam(state.origcol, seam)
+
+    if strip_update:
+        mid = state._replace(luma=luma, width=new_width)
+        energy = _recompute_strip(mid, seam, blocksize, edges, textures)
+    else:
+        energy = dct_energy_map(luma, blocksize, edges, textures).astype(jnp.float32)
+
+    return CarveState(luma, origcol, vmap, new_width, energy)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_seams", "blocksize", "strip_update")
+)
+def carve_n_seams(
+    luma: jax.Array,
+    n_seams: int,
+    blocksize: int,
+    edges,
+    textures,
+    strip_update: bool = True,
+) -> CarveState:
+    """Remove `n_seams` vertical seams from a (H, W) luma plane.
+
+    Returns the final CarveState; the caller reconstructs outputs from `vmap`
+    (see `reconstruct_removed` / `reconstruct_enlarged`).  The first energy
+    map is computed in full; subsequent seams use strip updates when enabled.
+    """
+    state = make_state(luma)
+    # energy is stored as f32 — liblqr's gfloat (src/dct.c:96) — no matter
+    # the compute dtype; the DP then matches the oracle's f32 arithmetic
+    E0 = dct_energy_map(luma, blocksize, edges, textures).astype(jnp.float32)
+    state = state._replace(energy=E0)
+
+    # strips wider than the buffer would scatter out of bounds: fall back to
+    # full recompute for tiny images (static decision; W is a trace constant)
+    if luma.shape[1] < 2 * (blocksize + 1) + 2 + blocksize:
+        strip_update = False
+
+    def body(i, s):
+        return _one_seam(s, (i + 1).astype(jnp.int32), blocksize, edges,
+                         textures, strip_update)
+
+    return jax.lax.fori_loop(0, n_seams, body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seams",))
+def reconstruct_removed(image: jax.Array, vmap: jax.Array, n_seams: int) -> jax.Array:
+    """Apply all removal seams in `vmap` to the full-channel image.
+
+    image: (H, W[, C]); returns (H, W-n_seams[, C]).  Stable argsort keeps
+    surviving columns in order (one gather; runs once per carve, not per seam).
+    """
+    H, W = image.shape[:2]
+    removed = vmap > 0
+    order = jnp.argsort(removed, axis=1, stable=True)[:, : W - n_seams]
+    idx = order[..., None] if image.ndim == 3 else order
+    return jnp.take_along_axis(image, idx, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seams",))
+def reconstruct_enlarged(image: jax.Array, vmap: jax.Array, n_seams: int) -> jax.Array:
+    """Insert a duplicate after every seam pixel (liblqr enlargement semantics).
+
+    Inserted value = mean of the seam pixel and its right neighbor
+    (border-clamped); round-half-up for integer dtypes.
+    """
+    H, W = image.shape[:2]
+    out_w = W + n_seams
+    s = (vmap > 0).astype(jnp.int32)
+    offs = jnp.cumsum(s, axis=1) - s                      # exclusive cumsum
+    pos = jnp.arange(W)[None, :] + offs                   # out position of originals
+    rows = jnp.broadcast_to(jnp.arange(H)[:, None], (H, W))
+
+    nbr = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        avg = (
+            (image.astype(jnp.int32) + nbr.astype(jnp.int32) + 1) // 2
+        ).astype(image.dtype)
+    else:
+        avg = (image + nbr) / 2
+
+    if image.ndim == 3:
+        out = jnp.zeros((H, out_w, image.shape[2]), image.dtype)
+        out = out.at[rows, pos].set(image)
+        dup_pos = jnp.where(s == 1, pos + 1, pos)
+        dup_val = jnp.where((s == 1)[..., None], avg, image)
+        out = out.at[rows, dup_pos].set(dup_val)
+    else:
+        out = jnp.zeros((H, out_w), image.dtype)
+        out = out.at[rows, pos].set(image)
+        dup_pos = jnp.where(s == 1, pos + 1, pos)
+        dup_val = jnp.where(s == 1, avg, image)
+        out = out.at[rows, dup_pos].set(dup_val)
+    return out

@@ -1,0 +1,130 @@
+"""Checkpoint / resume of carver state (SURVEY §5).
+
+The reference persists only its 9 settings across invocations
+(`gimp_set_data`, src/main.c:166-167,219-220).  Here the whole mid-carve state
+(current luma + origcol + vmap + width + energy) is a pytree; a long carve can
+be split into chunks of seams with a durable snapshot between chunks —
+checkpoint-restart for the seam loop on preemptible TPU jobs.
+
+Format: a single .npz (portable, no orbax dependency needed for arrays this
+small; orbax remains the right choice for sharded multi-host state and is used
+when a mesh is involved — see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.carve import CarveState
+from .config import CarverConfig
+
+__all__ = ["save_state", "load_state", "carve_resumable"]
+
+_FORMAT_VERSION = 1
+
+
+def save_state(path: str, state: CarveState, config: CarverConfig,
+               seams_done: int, n_seams_total: int) -> None:
+    meta = {
+        "version": _FORMAT_VERSION,
+        "seams_done": int(seams_done),
+        "n_seams_total": int(n_seams_total),
+        "config": dataclasses.asdict(config),
+    }
+    np.savez_compressed(
+        path,
+        luma=np.asarray(state.luma),
+        origcol=np.asarray(state.origcol),
+        vmap=np.asarray(state.vmap),
+        width=np.asarray(state.width),
+        energy=np.asarray(state.energy),
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    )
+
+
+def load_state(path: str):
+    """Returns (CarveState, CarverConfig, seams_done, n_seams_total)."""
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    if meta["version"] != _FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} unsupported")
+    state = CarveState(
+        luma=jnp.asarray(z["luma"]),
+        origcol=jnp.asarray(z["origcol"]),
+        vmap=jnp.asarray(z["vmap"]),
+        width=jnp.asarray(z["width"]),
+        energy=jnp.asarray(z["energy"]),
+    )
+    cfg = CarverConfig(**meta["config"])
+    return state, cfg, meta["seams_done"], meta["n_seams_total"]
+
+
+def carve_resumable(
+    luma,
+    n_seams: int,
+    config: CarverConfig,
+    *,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume_from: str | None = None,
+    progress=None,
+):
+    """Carve with optional periodic checkpointing and resume.
+
+    Runs the jitted seam loop in chunks of `checkpoint_every` seams (0 = one
+    chunk), snapshotting after each chunk.  `progress` is an optional
+    `Progress` (utils/progress.py) mirroring the liblqr progress hooks.
+    """
+    from ..ops.carve import make_state, _one_seam  # noqa: PLC0415
+    from ..ops.dct import dct_energy_map
+    import jax
+
+    if resume_from is not None:
+        state, cfg_loaded, done, total = load_state(resume_from)
+        if total != n_seams:
+            raise ValueError(
+                f"checkpoint was for {total} seams, requested {n_seams}"
+            )
+        config = cfg_loaded
+    else:
+        state = make_state(jnp.asarray(luma))
+        e0 = jax.jit(dct_energy_map, static_argnames=("blocksize",))(
+            state.luma, config.blocksize, config.edges, config.textures
+        ).astype(jnp.float32)
+        state = state._replace(energy=e0)
+        done = 0
+
+    chunk = checkpoint_every if checkpoint_every > 0 else n_seams
+    # same tiny-image guard as carve_n_seams: strips must fit in the buffer
+    strip = config.strip_update and (
+        state.luma.shape[1] >= 2 * (config.blocksize + 1) + 2 + config.blocksize
+    )
+
+    @jax.jit
+    def run_chunk(state, start, count):
+        def body(i, s):
+            return _one_seam(
+                s, (start + i + 1).astype(jnp.int32), config.blocksize,
+                config.edges, config.textures, strip,
+            )
+        return jax.lax.fori_loop(0, count, body, state)
+
+    if progress is not None:
+        progress.init("Resizing width...")
+    while done < n_seams:
+        count = min(chunk, n_seams - done)
+        state = jax.block_until_ready(
+            run_chunk(state, jnp.int32(done), jnp.int32(count))
+        )
+        done += count
+        if progress is not None:
+            progress.update(done / n_seams)
+        if checkpoint_path is not None:
+            save_state(checkpoint_path, state, config, done, n_seams)
+    if progress is not None:
+        progress.end()
+    return state

@@ -1,0 +1,44 @@
+"""Configuration — the reference's 9-knob PlugInVals re-expressed as a dataclass.
+
+Reference: `src/main.h:12-22` (PlugInVals), defaults `src/main.c:30-40`:
+  edges=0.0, textures=1.0, blocksize=8, seams_number=0, new_layer=FALSE,
+  resize_canvas=TRUE, output_energy=FALSE, output_seams=FALSE, vertically=FALSE.
+
+`new_layer`/`resize_canvas` are GIMP-layer concerns with no analog here
+(documented n/a per SURVEY §5); the remaining knobs keep their exact meaning.
+TPU-specific execution knobs live in separate fields and do not affect results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CarverConfig:
+    # --- reference knobs (src/main.h:12-22, defaults src/main.c:30-40) ---
+    edges: float = 0.0          # weight if argmax atom is (0,1)/(1,0)
+    textures: float = 1.0       # weight otherwise
+    blocksize: int = 8          # DCT block size: 2, 4, 8 or 16
+    seams_number: int = 0       # signed: <0 remove, >0 insert (src/render.c:358-364)
+    output_energy: bool = False # also produce the normalized energy image
+    output_seams: bool = False  # also produce the seam visibility map
+    vertically: bool = False    # retarget HEIGHT instead of width
+
+    # --- framework knobs (no effect on carve results) ---
+    luma: str = "bt709"         # "bt709" (carve path) | "bt601_studio" (preview)
+    use_pallas: bool = True     # fused TPU kernels where available
+    strip_update: bool = True   # incremental energy updates between seams
+    row_block: int | None = None  # bound energy-map peak memory
+
+    def __post_init__(self):
+        if self.blocksize not in (2, 4, 8, 16):
+            raise ValueError(f"blocksize must be 2/4/8/16, got {self.blocksize}")
+        if not (0 <= self.edges <= 1 and 0 <= self.textures <= 1):
+            # reference sliders span [0,1] (src/interface.c:631-639)
+            raise ValueError("edges/textures must be in [0, 1]")
+
+    @property
+    def radius(self) -> int:
+        """liblqr energy-function radius = blocksize/2 (src/render.c:314-315)."""
+        return self.blocksize // 2

@@ -1,0 +1,124 @@
+"""API-level tests: Carver lifecycle, carve(), retargeter, CLI, batch mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dct_carver_tpu.api import carve
+from dct_carver_tpu.models.carver import Carver
+from dct_carver_tpu.models.retarget import InteractiveRetargeter
+from dct_carver_tpu.oracle import reference as oracle
+from dct_carver_tpu.utils.config import CarverConfig
+
+
+def test_carve_remove(make_image):
+    img = make_image(32, 40, c=3)
+    res = carve(img, -6, output_seams=True, output_energy=True)
+    assert res.image.shape == (32, 34, 3)
+    assert res.visibility_map.shape == (32, 40)
+    assert res.energy_image.shape == (32, 40)
+    assert res.energy_image.dtype == np.uint8
+    for k in range(1, 7):
+        assert ((res.visibility_map == k).sum(axis=1) == 1).all()
+
+
+def test_carve_insert(make_image):
+    img = make_image(24, 30, c=3)
+    res = carve(img, 5)
+    assert res.image.shape == (24, 35, 3)
+
+
+def test_carve_vertically(make_image):
+    img = make_image(40, 32, c=3)
+    res = carve(img, -8, vertically=True, output_seams=True)
+    assert res.image.shape == (32, 32, 3)
+    assert res.visibility_map.shape == (40, 32)
+    # one removed pixel per COLUMN per seam
+    for k in range(1, 9):
+        assert ((res.visibility_map == k).sum(axis=0) == 1).all()
+
+
+def test_carve_zero_seams(make_image):
+    img = make_image(16, 16)
+    res = carve(img, 0, output_seams=True)
+    np.testing.assert_array_equal(res.image, img)
+    assert res.visibility_map.sum() == 0
+
+
+def test_carver_resize_bidirectional(make_image):
+    """Config 3 shape: vertical + horizontal passes (width first, liblqr order)."""
+    img = make_image(40, 48, c=3)
+    res = Carver(img, CarverConfig()).resize(44, 36)
+    assert res.image.shape == (36, 44, 3)
+
+
+def test_carver_energy_image(make_image):
+    img = make_image(24, 24, c=3)
+    e = Carver(img, CarverConfig(blocksize=4)).energy_image()
+    assert e.shape == (24, 24) and e.dtype == np.uint8
+    ref = oracle.normalize_to_u8(
+        oracle.energy_map(oracle.luma_bt709(img), 4, 0.0, 1.0)
+    )
+    # f32 vs f64 rounding can move a value by 1 gray level
+    assert np.abs(e.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_interactive_retargeter_matches_direct(make_image):
+    """Sliding to width w0-s must equal carving s seams directly (nested-seam
+    property: the first s seams of an N-seam precompute are the s-seam carve)."""
+    img = make_image(32, 40, c=3)
+    cfg = CarverConfig()
+    rt = InteractiveRetargeter(img, max_seams=8, config=cfg)
+    for s in (1, 4, 8):
+        direct = carve(img, -s)
+        np.testing.assert_array_equal(rt.at_width(40 - s), direct.image)
+    np.testing.assert_array_equal(rt.at_width(40), img)
+    enlarged = rt.at_width(43)
+    assert enlarged.shape == (32, 43, 3)
+
+
+def test_cli_roundtrip(tmp_path, make_image):
+    from dct_carver_tpu.cli import main
+    from dct_carver_tpu.utils.image import save_ppm, load_ppm
+
+    img = make_image(24, 32, c=3)
+    inp = tmp_path / "in.ppm"
+    outp = tmp_path / "out.ppm"
+    seams = tmp_path / "seams.ppm"
+    save_ppm(str(inp), img)
+    rc = main(["carve", str(inp), str(outp), "--seams", "-4",
+               "--output-seams", str(seams)])
+    assert rc == 0
+    out = load_ppm(str(outp))
+    assert out.shape == (24, 28, 3)
+    overlay = load_ppm(str(seams))
+    assert overlay.shape == (24, 32, 3)
+    # overlay paints seam pixels pure green (R=B=0, G>0): exactly 4 per row
+    pure_green = (overlay[..., 0] == 0) & (overlay[..., 2] == 0) & (overlay[..., 1] > 0)
+    assert (pure_green.sum(axis=1) == 4).all()
+
+
+def test_batch_carve_multidevice(make_image):
+    from dct_carver_tpu.parallel.mesh import make_mesh, carve_batch
+
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    mesh = make_mesh(8)
+    imgs = np.stack([make_image(24, 32, c=3) for _ in range(16)])
+    out, vmaps = carve_batch(imgs, 3, mesh=mesh)
+    assert out.shape == (16, 24, 29, 3)
+    # each image must match the single-image path
+    single = carve(imgs[0], -3)
+    np.testing.assert_array_equal(np.asarray(out[0]), single.image)
+
+
+def test_graft_entry():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    vmap, energy = jax.jit(fn)(*args)
+    assert vmap.shape == (256, 256)
+    ge.dryrun_multichip(8)

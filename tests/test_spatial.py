@@ -1,0 +1,68 @@
+"""Spatially-sharded carving must match the single-device path seam-for-seam."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dct_carver_tpu.ops import carve as carve_ops
+from dct_carver_tpu.parallel.mesh import make_mesh
+from dct_carver_tpu.parallel.spatial import spatial_carve_n_seams
+from dct_carver_tpu.oracle import reference as oracle
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8
+    return make_mesh(axis_name="x")
+
+
+def _luma(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return np.asarray(oracle.luma_bt709(img), np.float32), img
+
+
+@pytest.mark.parametrize("blocksize", [4, 8])
+def test_spatial_matches_single_device(mesh8, blocksize):
+    luma_np, _ = _luma(32, 64)
+    n = 5
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, blocksize, 0.3, 0.8, strip_update=False
+    )
+    sharded = spatial_carve_n_seams(
+        luma_np, n, blocksize=blocksize, edges=0.3, textures=0.8, mesh=mesh8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
+    assert int(sharded.width) == 64 - n
+
+
+def test_spatial_seam_crossing_boundaries(mesh8):
+    """A low-energy path crossing shard boundaries must be found globally."""
+    h, w = 24, 64
+    rng = np.random.default_rng(1)
+    luma = rng.random((h, w), dtype=np.float32) * 0.5 + 0.4
+    # carve a cheap diagonal corridor from col 5 to col 55 (crosses 7 shards)
+    for i in range(h):
+        j = 5 + int(round(i * 50 / (h - 1)))
+        luma[i, j] = 0.0
+        luma[i, min(j + 1, w - 1)] = 0.01
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma), 2, 8, 0.0, 1.0, strip_update=False
+    )
+    sharded = spatial_carve_n_seams(luma, 2, mesh=mesh8)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
+    # sanity: the seam actually spans many shards
+    cols = np.argwhere(np.asarray(single.vmap) == 1)[:, 1]
+    assert cols.min() // 8 != cols.max() // 8
+
+
+def test_spatial_width_not_divisible_raises(mesh8):
+    luma_np, _ = _luma(16, 60)
+    with pytest.raises(ValueError):
+        spatial_carve_n_seams(luma_np, 1, mesh=mesh8)
