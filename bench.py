@@ -16,23 +16,30 @@ import time
 import numpy as np
 
 
-def _time_carve(luma, n_seams, blocksize, strip_update=True, repeats=3):
+def _time_carve(lumas, n_seams, blocksize, strip_update=True, repeats=3,
+                use_pallas=None):
+    """lumas: list of distinct same-shape planes — repeated identical calls
+    can be served from a cache by the device tunnel, so every timed run gets
+    a different input."""
     import jax
     from dct_carver_tpu.ops.carve import carve_n_seams
 
-    def run():
-        state = carve_n_seams(luma, n_seams, blocksize, 0.0, 1.0,
-                              strip_update=strip_update)
-        jax.block_until_ready(state)
+    def run(x):
+        state = carve_n_seams(x, n_seams, blocksize, 0.0, 1.0,
+                              strip_update=strip_update, use_pallas=use_pallas)
+        # block_until_ready does not actually drain the axon TPU tunnel;
+        # a scalar readback does
+        int(state.width)
         return state
 
-    run()  # compile
+    run(lumas[0])  # compile
     best = float("inf")
-    for _ in range(repeats):
+    for i in range(repeats):
+        x = lumas[(i + 1) % len(lumas)]
         t0 = time.perf_counter()
-        run()
+        run(x)
         best = min(best, time.perf_counter() - t0)
-    h, w = luma.shape
+    h, w = lumas[0].shape
     mpix_s = h * w * n_seams / best / 1e6
     return mpix_s, best
 
@@ -53,21 +60,33 @@ def main():
     else:
         h, w, seams = 1080, 1920, 64  # config 2: 1080p, 8x8 blocks
 
-    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     from dct_carver_tpu.ops.energy import to_luma
 
-    luma = jax.block_until_ready(to_luma(jnp.asarray(img)))
+    to_luma_j = jax.jit(to_luma)
+    lumas = [
+        jax.block_until_ready(to_luma_j(jnp.asarray(
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        )))
+        for _ in range(4)
+    ]
 
-    headline, t = _time_carve(luma, seams, 8, strip_update=True)
+    headline, t = _time_carve(lumas, seams, 8, strip_update=True)
     print(f"# {h}x{w} 8x8 strip-update: {headline:.1f} Mpix/s "
           f"({seams} seams in {t*1e3:.1f} ms)", file=sys.stderr)
 
     if not quick:
-        try:
-            full, tf = _time_carve(luma, 8, 8, strip_update=False, repeats=2)
-            print(f"# {h}x{w} 8x8 full-recompute: {full:.1f} Mpix/s", file=sys.stderr)
-        except Exception as e:  # secondary configs must not kill the headline
-            print(f"# full-recompute bench failed: {e}", file=sys.stderr)
+        for label, kw in [
+            ("full-recompute", dict(strip_update=False, n=8)),
+            ("pallas-dp", dict(use_pallas=True, n=seams)),
+            ("scan-dp", dict(use_pallas=False, n=seams)),
+        ]:
+            try:
+                n = kw.pop("n")
+                v, tt = _time_carve(lumas, n, 8, repeats=2, **kw)
+                print(f"# {h}x{w} 8x8 {label}: {v:.1f} Mpix/s "
+                      f"({n} seams in {tt*1e3:.1f} ms)", file=sys.stderr)
+            except Exception as e:  # secondary configs must not kill the headline
+                print(f"# {label} bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "single_seam_retarget_throughput",

@@ -124,6 +124,7 @@ class Carver:
         state = carve_ops.carve_n_seams(
             luma, n, cfg.blocksize, cfg.edges, cfg.textures,
             strip_update=cfg.strip_update,
+            use_pallas=None if cfg.use_pallas else False,
         )
         vmap = state.vmap
         if delta < 0:

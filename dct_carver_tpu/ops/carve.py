@@ -110,11 +110,16 @@ def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
 
 
 def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
-              strip_update: bool) -> CarveState:
+              strip_update: bool, use_pallas: bool = False) -> CarveState:
     H, W = state.luma.shape
-    E = mask_energy(state.energy, state.width)
-    M = cumulative_energy(E)
-    seam = backtrack(M)
+    if use_pallas:
+        from ..pallas.dp_kernel import find_seam_pallas
+
+        seam = find_seam_pallas(state.energy, state.width)
+    else:
+        E = mask_energy(state.energy, state.width)
+        M = cumulative_energy(E)
+        seam = backtrack(M)
 
     # record k-th seam at original coordinates (src/render.c:204-240 semantics)
     rows = jnp.arange(H)
@@ -134,8 +139,20 @@ def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
     return CarveState(luma, origcol, vmap, new_width, energy)
 
 
+def resolve_use_pallas(use_pallas, H: int, W: int) -> bool:
+    """None = auto: Pallas kernels on a real TPU when shapes are aligned.
+    (In interpreter mode on CPU they are correct but much slower than scan —
+    tests opt in explicitly.)"""
+    from ..pallas.dp_kernel import pallas_supported
+
+    if use_pallas is None:
+        return jax.default_backend() == "tpu" and pallas_supported(H, W)
+    return bool(use_pallas) and pallas_supported(H, W)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_seams", "blocksize", "strip_update")
+    jax.jit,
+    static_argnames=("n_seams", "blocksize", "strip_update", "use_pallas"),
 )
 def carve_n_seams(
     luma: jax.Array,
@@ -144,13 +161,18 @@ def carve_n_seams(
     edges,
     textures,
     strip_update: bool = True,
+    use_pallas: bool | None = None,
 ) -> CarveState:
     """Remove `n_seams` vertical seams from a (H, W) luma plane.
 
     Returns the final CarveState; the caller reconstructs outputs from `vmap`
     (see `reconstruct_removed` / `reconstruct_enlarged`).  The first energy
     map is computed in full; subsequent seams use strip updates when enabled.
+    `use_pallas`: None = auto (TPU + aligned shapes); the Pallas seam finder
+    is bitwise-identical to the scan path.
     """
+    H, W = luma.shape
+    use_pallas = resolve_use_pallas(use_pallas, H, W)
     state = make_state(luma)
     # energy is stored as f32 — liblqr's gfloat (src/dct.c:96) — no matter
     # the compute dtype; the DP then matches the oracle's f32 arithmetic
@@ -164,7 +186,7 @@ def carve_n_seams(
 
     def body(i, s):
         return _one_seam(s, (i + 1).astype(jnp.int32), blocksize, edges,
-                         textures, strip_update)
+                         textures, strip_update, use_pallas)
 
     return jax.lax.fori_loop(0, n_seams, body, state)
 

@@ -54,7 +54,7 @@ def _dp_forward_kernel(width_ref, e_ref, parents_ref, mlast_ref, carry):
         e_row = jnp.where(colids < width, e_row, inf)
         prev = carry[:]
         left = pltpu.roll(prev, 1, axis=1)
-        right = pltpu.roll(prev, -1, axis=1)
+        right = pltpu.roll(prev, W - 1, axis=1)  # == shift -1 (must be >= 0)
         left = jnp.where(colids == 0, inf, left)
         right = jnp.where(colids == W - 1, inf, right)
         # same op order as ops/dp.py: E + min(min(left, center), right)
@@ -122,7 +122,8 @@ def _backtrack_kernel(jlast_ref, parents_ref, seam_ref, jcarry):
     def row_fn(rr, _):
         r = R - 1 - rr  # iterate block rows bottom-up
         j = jcarry[0]
-        seam_ref[r, 0] = j
+        # (1,1) vector store — scalar stores to VMEM are not lowerable
+        seam_ref[pl.ds(r, 1), :] = jnp.full((1, 1), j, jnp.int32)
         # p = parents[r, j] via one-hot reduction (no dynamic lane indexing)
         p_row = parents_ref[pl.ds(r, 1), :].astype(jnp.int32)
         p = jnp.sum(jnp.where(colids == j, p_row, 0))

@@ -103,13 +103,18 @@ def carve_resumable(
     strip = config.strip_update and (
         state.luma.shape[1] >= 2 * (config.blocksize + 1) + 2 + config.blocksize
     )
+    from ..ops.carve import resolve_use_pallas
+
+    use_pallas = resolve_use_pallas(
+        None if config.use_pallas else False, *state.luma.shape
+    )
 
     @jax.jit
     def run_chunk(state, start, count):
         def body(i, s):
             return _one_seam(
                 s, (start + i + 1).astype(jnp.int32), config.blocksize,
-                config.edges, config.textures, strip,
+                config.edges, config.textures, strip, use_pallas,
             )
         return jax.lax.fori_loop(0, count, body, state)
 

@@ -1,0 +1,67 @@
+"""Pallas DP kernels (interpreter mode on CPU) vs the scan path — bitwise."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dct_carver_tpu.ops import dp
+from dct_carver_tpu.pallas.dp_kernel import (
+    dp_forward, dp_backtrack, find_seam_pallas, pallas_supported,
+)
+
+
+def _masked_find_seam(E, width):
+    return dp.backtrack(dp.cumulative_energy(dp.mask_energy(E, width)))
+
+
+@pytest.mark.parametrize("hw", [(16, 128), (40, 256)])
+def test_dp_forward_matches_scan(hw, rng):
+    H, W = hw
+    E = rng.random((H, W)).astype(np.float32)
+    width = jnp.int32(W)
+    parents, mlast = dp_forward(jnp.asarray(E), width, interpret=True)
+    M = dp.cumulative_energy(dp.mask_energy(jnp.asarray(E), width))
+    np.testing.assert_array_equal(np.asarray(mlast)[0], np.asarray(M)[-1])
+
+
+@pytest.mark.parametrize("width_frac", [1.0, 0.6])
+def test_find_seam_pallas_matches(width_frac, rng):
+    H, W = 32, 256
+    E = rng.random((H, W)).astype(np.float32)
+    width = jnp.int32(int(W * width_frac))
+    ref = _masked_find_seam(jnp.asarray(E), width)
+    got = find_seam_pallas(jnp.asarray(E), width, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_find_seam_pallas_ties(rng):
+    """Quantized energies force exact ties; tie rules must match bitwise."""
+    H, W = 24, 128
+    E = (rng.integers(0, 3, size=(H, W)).astype(np.float32)) / 3.0
+    width = jnp.int32(W)
+    ref = _masked_find_seam(jnp.asarray(E), width)
+    got = find_seam_pallas(jnp.asarray(E), width, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_carve_loop_pallas_matches_scan(rng):
+    """Full multi-seam carve with the Pallas seam finder == scan path."""
+    from dct_carver_tpu.ops.carve import carve_n_seams
+
+    H, W = 32, 256
+    img = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    luma = jnp.asarray(img.astype(np.float32) / 255.0)
+    scan = carve_n_seams(luma, 6, 8, 0.3, 0.8, use_pallas=False)
+    pallas = carve_n_seams(luma, 6, 8, 0.3, 0.8, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(scan.vmap), np.asarray(pallas.vmap))
+    np.testing.assert_array_equal(
+        np.asarray(scan.energy), np.asarray(pallas.energy)
+    )
+
+
+def test_pallas_supported_gate():
+    assert pallas_supported(1080, 1920)
+    assert not pallas_supported(1080, 1000)  # W not lane-aligned
+    assert not pallas_supported(37, 256)     # H not row-block aligned
