@@ -28,6 +28,52 @@ def _add_knobs(p: argparse.ArgumentParser) -> None:
                    help="full energy recompute per seam")
 
 
+def _run_batch(args) -> int:
+    """Config-4 style batch carve: every image in a directory, sharded over
+    all local devices (parallel/mesh.py)."""
+    import os
+
+    import numpy as np
+
+    from .utils.image import load_image, save_image
+    from .parallel.mesh import carve_batch
+
+    names = sorted(
+        f for f in os.listdir(args.input_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".ppm", ".pgm", ".npy"))
+    )
+    if not names:
+        print("no images found", file=sys.stderr)
+        return 1
+    imgs = [load_image(os.path.join(args.input_dir, f)) for f in names]
+    shape = imgs[0].shape
+    if any(i.shape != shape for i in imgs):
+        print("batch mode requires identically-sized images", file=sys.stderr)
+        return 1
+    if args.vertically:
+        imgs = [np.swapaxes(i, 0, 1) for i in imgs]
+
+    t0 = time.perf_counter()
+    out, _ = carve_batch(
+        np.stack(imgs), args.seams,
+        blocksize=args.blocksize, edges=args.edges, textures=args.textures,
+        strip_update=not args.no_strip_update,
+    )
+    out = np.asarray(out)
+    dt = time.perf_counter() - t0
+    os.makedirs(args.output_dir, exist_ok=True)
+    for f, o in zip(names, out):
+        if args.vertically:
+            o = np.swapaxes(o, 0, 1)
+        save_image(os.path.join(args.output_dir, f), o)
+    h, w = shape[:2]
+    print(json.dumps({
+        "images": len(names), "seams": args.seams, "seconds": round(dt, 3),
+        "mpix_per_s": round(len(names) * h * w * args.seams / dt / 1e6, 2),
+    }), file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="dct-carver")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -44,11 +90,29 @@ def main(argv=None) -> int:
     e = sub.add_parser("energy", help="export the normalized energy image")
     e.add_argument("input")
     e.add_argument("output")
+    e.add_argument("--preview", action="store_true",
+                   help="use the GUI-preview energy path (BT.601 luma + "
+                        "preview window centering, src/render.c:421)")
     _add_knobs(e)
+
+    b = sub.add_parser("batch", help="carve a directory of same-sized images "
+                                     "data-parallel over all devices")
+    b.add_argument("input_dir")
+    b.add_argument("output_dir")
+    b.add_argument("--seams", type=int, required=True,
+                   help="seams to REMOVE from each image (positive count)")
+    _add_knobs(b)
 
     args = ap.parse_args(argv)
 
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .utils.image import load_image, save_image, seam_overlay
+
+    if args.cmd == "batch":
+        return _run_batch(args)
 
     img = load_image(args.input)
 
@@ -60,7 +124,9 @@ def main(argv=None) -> int:
             blocksize=args.blocksize, edges=args.edges, textures=args.textures,
             vertically=args.vertically, luma=args.luma,
         )
-        save_image(args.output, Carver(img, cfg).energy_image())
+        carver = Carver(img, cfg)
+        out = carver.energy_preview() if args.preview else carver.energy_image()
+        save_image(args.output, out)
         return 0
 
     from .api import carve

@@ -32,14 +32,16 @@ __all__ = ["Carver", "CarveResult"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blocksize", "luma_mode", "row_block")
+    jax.jit, static_argnames=("blocksize", "luma_mode", "row_block", "center")
 )
-def _energy_u8_jit(image, blocksize, edges, textures, luma_mode, row_block):
+def _energy_u8_jit(image, blocksize, edges, textures, luma_mode, row_block,
+                   center="carve"):
     """One fused device program for the energy-image export — everything
     outside jit runs eagerly (one dispatch per op), which is pathologically
     slow over a tunneled TPU."""
     plane = to_luma(image, luma_mode)
-    e = dct_energy_map(plane, blocksize, edges, textures, row_block=row_block)
+    e = dct_energy_map(plane, blocksize, edges, textures,
+                       row_block=row_block, center=center)
     return normalize_to_u8(e)
 
 
@@ -84,6 +86,16 @@ class Carver:
                              cfg.luma, cfg.row_block)
         if vertically:
             out = jnp.swapaxes(out, 0, 1)
+        return np.asarray(jax.device_get(out))
+
+    # -- dct_energy_preview (src/render.c:421-479): the GUI preview, with its
+    #    own BT.601-studio luma (render.h:5) and window centering (dct.h:8-9)
+    def energy_preview(self) -> np.ndarray:
+        cfg = self.config
+        out = _energy_u8_jit(
+            jnp.asarray(self.image), cfg.blocksize, cfg.edges, cfg.textures,
+            "bt601_studio", cfg.row_block, center="preview",
+        )
         return np.asarray(jax.device_get(out))
 
     # -- lqr_carver_resize (src/render.c:377) ---------------------------------

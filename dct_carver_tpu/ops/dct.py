@@ -105,15 +105,26 @@ def energy_from_bands(bands: jax.Array, n: int, edges, textures) -> jax.Array:
     return maxval * w
 
 
-def rows_to_bands(luma: jax.Array, n: int) -> jax.Array:
+def window_offset(n: int, center: str = "carve") -> int:
+    """First window offset relative to the pixel (see oracle.window_offset):
+    "carve" = liblqr reading window (src/render.c:146-151); "preview" = the
+    GUI preview centering (CENTER_ROW/COL, src/dct.h:8-9)."""
+    if center == "carve":
+        return -(n // 2 - 1)
+    if center == "preview":
+        return -((n - 1) // 2 - 1)
+    raise ValueError(f"center must be 'carve' or 'preview', got {center!r}")
+
+
+def rows_to_bands(luma: jax.Array, n: int, center: str = "carve") -> jax.Array:
     """(H, W) -> (H, n, W + n - 1): per-output-row vertical band with
-    edge-clamped rows (window offsets -r+1..r, src/render.c:146-151) and
-    edge-padded columns."""
+    edge-clamped rows and columns (window offsets co..co+n-1)."""
     H, W = luma.shape
-    r = n // 2
-    padded = jnp.pad(luma, ((0, 0), (r - 1, r)), mode="edge")  # (H, W+n-1)
+    co = window_offset(n, center)
+    col_idx = jnp.clip(jnp.arange(W + n - 1) + co, 0, W - 1)
+    padded = luma[:, col_idx]  # (H, W+n-1)
     row_idx = jnp.clip(
-        jnp.arange(H)[:, None] + jnp.arange(-r + 1, r + 1)[None, :], 0, H - 1
+        jnp.arange(H)[:, None] + co + jnp.arange(n)[None, :], 0, H - 1
     )  # (H, n)
     return padded[row_idx]  # (H, n, W+n-1)
 
@@ -125,16 +136,18 @@ def dct_energy_map(
     textures,
     *,
     row_block: int | None = None,
+    center: str = "carve",
 ) -> jax.Array:
     """Per-pixel DCT energy of a (H, W) luma plane.  Same contract as
     `oracle.reference.energy_map`; returns (H, W) in `luma.dtype`.
 
     `row_block`: process rows in chunks of this size to bound peak memory
     (output rows are independent given their bands, so chunking is exact).
+    `center`: "carve" (liblqr window) or "preview" (GUI preview centering).
     """
     n = blocksize
     H, W = luma.shape
-    bands = rows_to_bands(luma, n)
+    bands = rows_to_bands(luma, n, center)
     if row_block is None or row_block >= H:
         return energy_from_bands(bands, n, edges, textures)
     nb = -(-H // row_block)

@@ -54,11 +54,17 @@ def energy_map(
     *,
     luma: str = "bt709",
     row_block: int | None = None,
+    center: str = "carve",
     dtype=jnp.float32,
 ) -> jax.Array:
-    """Full-image DCT energy from an RGB/gray image (src/dct.c:96-110 semantics)."""
+    """Full-image DCT energy from an RGB/gray image (src/dct.c:96-110 semantics).
+
+    The preview path (src/render.c:421-479) is `luma="bt601_studio",
+    center="preview"`; the carve path (the default) is what seam selection
+    uses."""
     plane = to_luma(image, luma, dtype)
-    return dct_energy_map(plane, blocksize, edges, textures, row_block=row_block)
+    return dct_energy_map(plane, blocksize, edges, textures,
+                          row_block=row_block, center=center)
 
 
 def normalize_to_u8(energy: jax.Array) -> jax.Array:

@@ -134,20 +134,34 @@ def luma_bt601_studio(image: np.ndarray) -> np.ndarray:
     return np.floor(16.0 + r * 0.2568 + g * 0.5041 + b * 0.0979)
 
 
-def _sliding_windows(luma: np.ndarray, n: int) -> np.ndarray:
-    """All n×n windows with reference geometry: offsets -r+1..r, edge-clamped.
+def window_offset(n: int, center: str = "carve") -> int:
+    """First window offset relative to the pixel.
 
-    Returns (H, W, n, n) with axes [y, x, dy, dx] in IMAGE orientation.
-    (The reference stores the transposed block; the transpose is applied in
-    `energy_map` via the tie-break rank layout instead.)
+    * "carve": liblqr reading window, offsets -r+1..r with r = n//2
+      (src/render.c:146-151).
+    * "preview": the GUI preview path, offsets -(C-1)..n-C with
+      C = (n-1)//2 in C integer division (CENTER_ROW/COL, src/dct.h:8-9;
+      window loop src/render.c:43-49) — off by one vs the carve path for
+      even n (SURVEY §3.2's "two near-duplicate definitions").
     """
-    r = n // 2
-    padded = np.pad(luma, ((r - 1, r), (r - 1, r)), mode="edge")
+    if center == "carve":
+        return -(n // 2 - 1)
+    if center == "preview":
+        return -((n - 1) // 2 - 1)
+    raise ValueError(f"center must be 'carve' or 'preview', got {center!r}")
+
+
+def _sliding_windows(luma: np.ndarray, n: int, center: str = "carve") -> np.ndarray:
+    """All n×n windows, edge-clamped.  Returns (H, W, n, n) with axes
+    [y, x, dy, dx] in IMAGE orientation.  (The reference stores the
+    transposed block; the transpose is applied in `energy_map` via the
+    tie-break rank layout instead.)
+    """
+    co = window_offset(n, center)
     H, W = luma.shape
-    s0, s1 = padded.strides
-    return np.lib.stride_tricks.as_strided(
-        padded, shape=(H, W, n, n), strides=(s0, s1, s0, s1), writeable=False
-    )
+    yy = np.clip(np.arange(H)[:, None] + co + np.arange(n)[None, :], 0, H - 1)
+    xx = np.clip(np.arange(W)[:, None] + co + np.arange(n)[None, :], 0, W - 1)
+    return luma[yy[:, None, :, None], xx[None, :, None, :]]
 
 
 def energy_map(
@@ -156,6 +170,7 @@ def energy_map(
     edges: float,
     textures: float,
     row_chunk: int = 128,
+    center: str = "carve",
 ) -> np.ndarray:
     """Per-pixel weighted max-|AC-DCT| energy (src/dct.c:96-110). Returns f32 (H,W).
 
@@ -176,14 +191,15 @@ def energy_map(
     ac_mask = ~dc.reshape(-1)
     edge_ranks = EDGE_ATOM_RANKS(n)
 
+    co = window_offset(n, center)
+    xx = np.clip(np.arange(W)[:, None] + co + np.arange(n)[None, :], 0, W - 1)
     out = np.empty((H, W), dtype=np.float32)
     for y0 in range(0, H, row_chunk):
         y1 = min(y0 + row_chunk, H)
-        # overlapping band so windows see their halo
-        r = n // 2
-        b0 = max(y0 - (r - 1), 0)
-        b1 = min(y1 + r, H)
-        wnd = _sliding_windows(luma[b0:b1], n)[y0 - b0 : y1 - b0]
+        yy = np.clip(
+            np.arange(y0, y1)[:, None] + co + np.arange(n)[None, :], 0, H - 1
+        )
+        wnd = luma[yy[:, None, :, None], xx[None, :, None, :]]
         # coeff[y, x, ky, kx] = (D @ wnd @ D.T)
         coeff = np.einsum("ka,yxab,lb->yxkl", D, wnd, D, optimize=True)
         absc = np.abs(coeff).reshape(coeff.shape[0], W, n * n)

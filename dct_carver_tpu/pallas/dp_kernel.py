@@ -43,15 +43,24 @@ def _interpret_default() -> bool:
 # ----------------------------------------------------------------- forward --
 
 def _dp_forward_kernel(width_ref, e_ref, parents_ref, mlast_ref, carry):
+    """DP over the column window [lo, lo+width); cols outside are +inf.
+
+    The left window edge needs no special-casing: masked cells carry inf, so
+    the left/right candidates at the window borders are inf automatically;
+    the `colids == 0 / W-1` guards only fix the roll wraparound at the
+    physical buffer edges."""
     b = pl.program_id(0)
     R, W = e_ref.shape
     colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     inf = jnp.float32(jnp.inf)
     width = width_ref[0]
+    lo = width_ref[1]
 
     def row_fn(r, _):
         e_row = e_ref[pl.ds(r, 1), :]
-        e_row = jnp.where(colids < width, e_row, inf)
+        e_row = jnp.where(
+            (colids >= lo) & (colids < lo + width), e_row, inf
+        )
         prev = carry[:]
         left = pltpu.roll(prev, 1, axis=1)
         right = pltpu.roll(prev, W - 1, axis=1)  # == shift -1 (must be >= 0)
@@ -77,14 +86,17 @@ def _dp_forward_kernel(width_ref, e_ref, parents_ref, mlast_ref, carry):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def dp_forward(E: jax.Array, width: jax.Array, *, interpret: bool | None = None):
-    """E (H, W) f32, W % 128 == 0, H % ROW_BLOCK == 0; `width` masks dead cols.
+def dp_forward(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
+               interpret: bool | None = None):
+    """E (H, W) f32, W % 128 == 0, H % ROW_BLOCK == 0; the DP runs over the
+    column window [lo, lo+width) (other cols masked to +inf).
 
     Returns (parents (H, W) int8, m_last (1, W) f32)."""
     H, W = E.shape
     if interpret is None:
         interpret = _interpret_default()
     grid = (H // ROW_BLOCK,)
+    wl = jnp.stack([jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)])
     return pl.pallas_call(
         _dp_forward_kernel,
         grid=grid,
@@ -104,7 +116,7 @@ def dp_forward(E: jax.Array, width: jax.Array, *, interpret: bool | None = None)
         ],
         scratch_shapes=[pltpu.VMEM((1, W), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(width, jnp.int32).reshape(1), E)
+    )(wl, E)
 
 
 # --------------------------------------------------------------- backtrack --
@@ -164,15 +176,16 @@ def dp_backtrack(parents: jax.Array, j_last: jax.Array, *,
 
 # ------------------------------------------------------------------ driver --
 
-def find_seam_pallas(E: jax.Array, width: jax.Array, *,
+def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
                      interpret: bool | None = None) -> jax.Array:
-    """Masked find-seam: (H, W) f32 energy + logical width -> (H,) int32 seam.
+    """Masked find-seam over the column window [lo, lo+width):
+    (H, W) f32 energy -> (H,) int32 seam (buffer coordinates).
 
     Bitwise-identical decisions to mask_energy + cumulative_energy + backtrack
-    in ops/dp.py."""
+    in ops/dp.py (with lo=0)."""
     H, W = E.shape
-    parents, mlast = dp_forward(E, width, interpret=interpret)
+    parents, mlast = dp_forward(E, width, lo, interpret=interpret)
     col = jnp.arange(W)
-    masked = jnp.where(col < width, mlast[0], jnp.inf)
+    masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)
     j_last = jnp.argmin(masked).astype(jnp.int32)  # leftmost min
     return dp_backtrack(parents, j_last, interpret=interpret)

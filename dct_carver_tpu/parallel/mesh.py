@@ -76,18 +76,24 @@ def carve_batch(
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
     images = jnp.asarray(images)
-    spec = P(axis) if images.ndim == 3 else P(axis, None, None, None)
+    B = images.shape[0]
+    # pad the batch to a multiple of the mesh size (repeat the last image)
+    pad = (-B) % nd
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0
+        )
     sharding = NamedSharding(mesh, P(axis))
     images = jax.device_put(images, sharding)
-    del spec
 
     states = batch_carve_states(
         images, n_seams, blocksize, edges, textures, strip_update
     )
     if not reconstruct:
-        return None, states.vmap
+        return None, states.vmap[:B]
     out = jax.jit(
         jax.vmap(lambda im, vm: carve_ops.reconstruct_removed(im, vm, n_seams))
     )(images, states.vmap)
-    return out, states.vmap
+    return out[:B], states.vmap[:B]

@@ -122,3 +122,44 @@ def test_energy_map_rgb_api(make_image):
     e = energy_map(jnp.asarray(img), blocksize=4, edges=0.1, textures=0.9)
     assert e.shape == (16, 16)
     assert np.isfinite(np.asarray(e)).all()
+
+
+@pytest.mark.parametrize("n", [2, 4, 8, 16])
+def test_preview_centering_matches_oracle(n, make_image):
+    """Preview path: BT.601-studio luma + its own window centering
+    (src/render.c:421-479, src/dct.h:8-9)."""
+    img = make_image(20, 26, c=3)
+    luma = oracle.luma_bt601_studio(img)
+    ref = oracle.energy_map(luma, n, 0.4, 0.6, center="preview")
+    with jax.enable_x64(True):
+        got = dct_energy_map(
+            jnp.asarray(luma, jnp.float64), n, 0.4, 0.6, center="preview"
+        )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), ref, rtol=3e-7, atol=1e-12
+    )
+
+
+def test_preview_differs_from_carve_center(make_image):
+    """The two reference energy paths differ (SURVEY §3.2) — assert we
+    reproduce that difference rather than silently unifying geometry."""
+    img = make_image(24, 24)
+    luma = oracle.luma_bt709(img)
+    a = oracle.energy_map(luma, 8, 0.0, 1.0, center="carve")
+    b = oracle.energy_map(luma, 8, 0.0, 1.0, center="preview")
+    assert not np.array_equal(a, b)
+    # preview at (y,x) == carve at (y+1,x+1) in the interior (pure shift)
+    np.testing.assert_allclose(b[4:-8, 4:-8], a[5:-7, 5:-7], rtol=1e-6)
+
+
+def test_carver_energy_preview_api(make_image):
+    from dct_carver_tpu.models.carver import Carver
+    from dct_carver_tpu.utils.config import CarverConfig
+
+    img = make_image(16, 18, c=3)
+    e = Carver(img, CarverConfig(blocksize=4)).energy_preview()
+    ref = oracle.normalize_to_u8(
+        oracle.energy_map(oracle.luma_bt601_studio(img), 4, 0.0, 1.0,
+                          center="preview")
+    )
+    assert np.abs(e.astype(int) - ref.astype(int)).max() <= 1
