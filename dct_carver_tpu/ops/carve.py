@@ -76,37 +76,61 @@ def _strip_bounds(seam: jax.Array, blocksize: int, W: int):
     return start, strip_w
 
 
+STRIP_ROW_BLOCK = 8  # rows per block-aligned strip (static)
+
+
 def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
                      edges, textures) -> jax.Array:
-    """Compacted energy with only the seam strip recomputed.
+    """Compacted energy with only the seam strip recomputed — block-aligned.
 
-    The old energy is compacted with the same select-shift as the image; then
-    a per-output-row 3-D band (each output row carries its own n source rows ×
-    strip columns — per-row starts, so NO vertical shear) is gathered and fed
-    through the SAME `energy_from_bands` core as the full path, making the
-    recomputed strip bitwise equal to a full recompute.
+    The old energy is compacted with the same select-shift as the image.  The
+    seam drifts <= 1 column/row, so within an R-row block all per-row strips
+    fit in one shared window widened by R-1 columns; the luma slab for a block
+    is then ONE contiguous 2-D `dynamic_slice` (cheap TPU gather with large
+    slice sizes — the per-row general gather/scatter this replaces cost
+    ~2.5 ms/seam at 1080p, 74% of the carve).  Recomputed columns go through
+    the SAME `energy_from_bands` core as the full path, so every written value
+    is bitwise equal to a full recompute; writing the wider block strip is
+    therefore harmless (it overwrites correct values with identical ones).
+
+    Border clamping (src/render.c:146-151): edge-mode padding of the slab
+    source replicates the clamp; the dead region is edge-filled, so the right
+    padding reads the logical-edge value like the full path.
     """
     H, W = state.luma.shape
     n = blocksize
     r = n // 2
+    R = STRIP_ROW_BLOCK
     E_shift = remove_seam(state.energy, seam)
     start, strip_w = _strip_bounds(seam, n, W)
 
-    gW = strip_w + n - 1  # window taps: cols j-r+1 .. j+r around each strip col
-    row_idx = jnp.clip(
-        jnp.arange(H)[:, None] + jnp.arange(-r + 1, r + 1)[None, :], 0, H - 1
-    )  # (H, n)
-    col_idx = jnp.clip(
-        (start - (r - 1))[:, None] + jnp.arange(gW)[None, :], 0, W - 1
-    )  # (H, gW); dead region is edge-filled, so the clamp to the buffer edge
-    #    reads the logical-edge value, matching the full path's padding
-    band = state.luma[row_idx[:, :, None], col_idx[:, None, :]]  # (H, n, gW)
-    strip_E = energy_from_bands(band, n, edges, textures).astype(jnp.float32)
+    nb = -(-H // R)
+    pad_h = nb * R - H
+    swb = strip_w + R - 1          # block strip width (static)
+    gwb = swb + n - 1              # + window taps
+    # padded luma: rows r-1 top / r+pad_h bottom, cols r-1 left / r right —
+    # edge replication == the full path's index clamping
+    lp = jnp.pad(state.luma, ((r - 1, r + pad_h), (r - 1, r)), mode="edge")
 
-    # scatter the strip back at per-row starts
-    tgt_cols = start[:, None] + jnp.arange(strip_w)[None, :]
-    rows = jnp.broadcast_to(jnp.arange(H)[:, None], (H, strip_w))
-    return E_shift.at[rows, tgt_cols].set(strip_E)
+    start_p = jnp.pad(start, (0, pad_h), mode="edge").reshape(nb, R)
+    bs = jnp.clip(jnp.min(start_p, axis=1), 0, max(W - swb, 0))  # (nb,)
+
+    # one contiguous (R+n-1, gwb) slab per block; padded-coord col start == bs
+    slabs = jax.vmap(
+        lambda k, b: jax.lax.dynamic_slice(lp, (k, b), (R + n - 1, gwb))
+    )(jnp.arange(nb, dtype=jnp.int32) * R, bs)
+    # per-output-row vertical bands via static row windows: (nb, R, n, gwb)
+    bands = jnp.stack([slabs[:, rr : rr + n, :] for rr in range(R)], axis=1)
+    strip_E = energy_from_bands(
+        bands.reshape(nb * R, n, gwb), n, edges, textures
+    ).astype(jnp.float32).reshape(nb, R, swb)
+
+    # write each block strip back at its block start (full-slice scatter)
+    E_blocks = jnp.pad(E_shift, ((0, pad_h), (0, 0))).reshape(nb, R, W)
+    out = jax.vmap(
+        lambda e, s, b: jax.lax.dynamic_update_slice(e, s, (0, b))
+    )(E_blocks, strip_E, bs)
+    return out.reshape(nb * R, W)[:H]
 
 
 def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
@@ -181,7 +205,8 @@ def carve_n_seams(
 
     # strips wider than the buffer would scatter out of bounds: fall back to
     # full recompute for tiny images (static decision; W is a trace constant)
-    if luma.shape[1] < 2 * (blocksize + 1) + 2 + blocksize:
+    strip_w = 2 * (blocksize + 1) + 2
+    if luma.shape[1] < strip_w + max(blocksize, STRIP_ROW_BLOCK - 1):
         strip_update = False
 
     def body(i, s):
