@@ -40,8 +40,13 @@ def _energy_u8_jit(image, blocksize, edges, textures, luma_mode, row_block,
     outside jit runs eagerly (one dispatch per op), which is pathologically
     slow over a tunneled TPU."""
     plane = to_luma(image, luma_mode)
-    e = dct_energy_map(plane, blocksize, edges, textures,
-                       row_block=row_block, center=center)
+    if row_block is None:
+        from ..ops.carve import full_energy_map
+
+        e = full_energy_map(plane, blocksize, edges, textures, center=center)
+    else:
+        e = dct_energy_map(plane, blocksize, edges, textures,
+                           row_block=row_block, center=center)
     return normalize_to_u8(e)
 
 

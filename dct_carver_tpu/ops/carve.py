@@ -158,7 +158,7 @@ def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
         mid = state._replace(luma=luma, width=new_width)
         energy = _recompute_strip(mid, seam, blocksize, edges, textures)
     else:
-        energy = dct_energy_map(luma, blocksize, edges, textures).astype(jnp.float32)
+        energy = full_energy_map(luma, blocksize, edges, textures)
 
     return CarveState(luma, origcol, vmap, new_width, energy)
 
@@ -172,6 +172,24 @@ def resolve_use_pallas(use_pallas, H: int, W: int) -> bool:
     if use_pallas is None:
         return jax.default_backend() == "tpu" and pallas_supported(H, W)
     return bool(use_pallas) and pallas_supported(H, W)
+
+
+def full_energy_map(luma: jax.Array, blocksize: int, edges, textures,
+                    center: str = "carve") -> jax.Array:
+    """Full-image energy, f32 — the fused Pallas kernel on TPU (bit-identical
+    to the XLA chains there, verified on hardware), XLA elsewhere/f64."""
+    from ..pallas.energy_kernel import dct_energy_pallas, energy_pallas_supported
+
+    H, W = luma.shape
+    if (
+        jax.default_backend() == "tpu"
+        and luma.dtype == jnp.float32
+        and energy_pallas_supported(W, blocksize)
+    ):
+        return dct_energy_pallas(luma, blocksize, edges, textures,
+                                 center=center)
+    return dct_energy_map(luma, blocksize, edges, textures,
+                          center=center).astype(jnp.float32)
 
 
 @functools.partial(
@@ -200,7 +218,7 @@ def carve_n_seams(
     state = make_state(luma)
     # energy is stored as f32 — liblqr's gfloat (src/dct.c:96) — no matter
     # the compute dtype; the DP then matches the oracle's f32 arithmetic
-    E0 = dct_energy_map(luma, blocksize, edges, textures).astype(jnp.float32)
+    E0 = full_energy_map(luma, blocksize, edges, textures)
     state = state._replace(energy=E0)
 
     # strips wider than the buffer would scatter out of bounds: fall back to

@@ -72,33 +72,44 @@ def energy_from_bands(bands: jax.Array, n: int, edges, textures) -> jax.Array:
     assert nb == n
     Cout = C - n + 1
     dtype = bands.dtype
-    D = dct_matrix(n, dtype)
+    D = _dct_matrix_np(n)  # python-scalar taps keep the chains backend-exact
 
-    # stage 1 — vertical 1-D DCT: V[i, ky, c] = sum_dy D[ky, dy] * bands[i, dy, c]
-    V = jnp.einsum("kd,idc->ikc", D, bands, precision=jax.lax.Precision.HIGHEST)
+    # Both DCT stages are explicit multiply-add chains (NOT dot/einsum):
+    # elementwise mul/add are exactly-rounded IEEE ops, so the result is
+    # bit-determined on every backend, and the Pallas energy kernel
+    # (pallas/energy_kernel.py) reproduces the same chains bitwise.  XLA also
+    # fuses the whole chain + argmax into a few kernels, so nothing of n^2
+    # size is materialized in HBM.
 
+    # stage 1 — vertical 1-D DCT: V[ky][i, c] = sum_dy D[ky, dy] * bands[i, dy, c]
+    V = []
+    for ky in range(n):
+        v = dtype.type(D[ky, 0]) * bands[:, 0, :]
+        for dy in range(1, n):
+            v = v + dtype.type(D[ky, dy]) * bands[:, dy, :]
+        V.append(v)
+
+    # stage 2 — horizontal sliding DCT + running argmax with the reference's
+    # conventions (src/dct.c:96-110): DC excluded, last-tie-wins in
+    # rank = kx*n + ky (the block is stored transposed, src/render.c:146-151)
     maxval = jnp.full((H, Cout), -jnp.inf, dtype)
     winner = jnp.full((H, Cout), -1, jnp.int32)
     for ky in range(n):
-        # stage 2 — horizontal sliding DCT for this vertical frequency:
-        # T[i, kx, p] = sum_dx D[kx, dx] * V[i, ky, p + dx]
-        cols = jnp.stack([V[:, ky, dx : dx + Cout] for dx in range(n)], axis=-1)
-        T = jnp.einsum("ld,icd->ilc", D, cols,
-                       precision=jax.lax.Precision.HIGHEST)  # (H, n_kx, Cout)
-        absT = jnp.abs(T)
+        sh = [V[ky][:, dx : dx + Cout] for dx in range(n)]
         kx0 = 1 if ky == 0 else 0  # DC atom (0,0) excluded (src/dct.c:103)
-        absT = absT[:, kx0:, :]
-        ranks = jnp.asarray(
-            [kx * n + ky for kx in range(kx0, n)], jnp.int32
-        )[None, :, None]
-        gmax = jnp.max(absT, axis=1)
-        gwin = jnp.max(jnp.where(absT == gmax[:, None, :], ranks, -1), axis=1)
-        take_new = gmax > maxval
-        tie = gmax == maxval
-        winner = jnp.where(
-            take_new, gwin, jnp.where(tie, jnp.maximum(winner, gwin), winner)
-        )
-        maxval = jnp.maximum(maxval, gmax)
+        for kx in range(kx0, n):
+            t = dtype.type(D[kx, 0]) * sh[0]
+            for dx in range(1, n):
+                t = t + dtype.type(D[kx, dx]) * sh[dx]
+            a = jnp.abs(t)
+            rank = kx * n + ky
+            take_new = a > maxval
+            tie = a == maxval
+            winner = jnp.where(
+                take_new, rank,
+                jnp.where(tie, jnp.maximum(winner, rank), winner),
+            )
+            maxval = jnp.maximum(maxval, a)
 
     is_edge = (winner == 1) | (winner == n)  # atoms (0,1),(1,0) (src/dct.c:10-43)
     w = jnp.where(is_edge, jnp.asarray(edges, dtype), jnp.asarray(textures, dtype))

@@ -1,0 +1,165 @@
+"""Fused separable-DCT + argmax energy kernel (SURVEY §7.3a).
+
+The XLA path (`ops/dct.py`) materializes per-atom DCT responses in HBM —
+~n²× the image size of write+read traffic (≈21 ms for a 1080p/8×8 map on one
+v5e chip).  This kernel streams row slabs HBM→VMEM once and keeps every
+intermediate (vertical DCT row, per-atom response, running argmax) in
+VMEM/vregs, writing only the final (H, W) energy — traffic = read luma +
+write energy.
+
+Math and conventions are identical to `ops.dct.energy_from_bands`
+(`/root/reference/src/dct.c:96-110` semantics: max |AC coefficient|,
+last-tie-wins in rank = kx·n + ky, DC excluded, edge/texture weighting of
+atoms (0,1)/(1,0); window offsets per `src/render.c:146-151` ("carve") or
+`src/dct.h:8-9` ("preview"); border clamping via edge padding).  The scalar
+multiply-add chains follow the same contraction order as the XLA einsums, so
+results are bitwise equal — asserted in tests/test_energy_kernel.py and
+relied on by the carve loop (strip updates run in XLA, full maps here).
+
+Structure per grid step (one R-row block):
+  * DMA an (R + n - 1)-row slab into VMEM (rows overlap between blocks —
+    BlockSpecs cannot express that, hence the manual copy from ANY).
+  * stage 1: for each ky, the vertical 1-D DCT row V_ky as an n-term FMA
+    chain over static sublane-offset slab slices.
+  * stage 2: per ky, the n static lane rotations of V_ky are built once;
+    a fori_loop over kx forms each atom response as an n-term FMA chain
+    with D read from SMEM, folding |T| into the running (max, winner).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dp_kernel import _interpret_default
+from ..ops.dct import _dct_matrix_np, window_offset
+
+__all__ = ["dct_energy_pallas", "energy_pallas_supported"]
+
+ROW_BLOCK = 64  # output rows per grid step
+LANE = 128
+
+# slab + V + (max, winner) + out block, all (~ROW_BLOCK, Wp) f32 — keep the
+# per-block VMEM footprint well under the ~16 MB/core budget
+MAX_WP = 8192
+
+
+def energy_pallas_supported(W: int, blocksize: int) -> bool:
+    Wp = -(-(W + blocksize - 1) // LANE) * LANE
+    return Wp <= MAX_WP
+
+
+def _make_kernel(n: int, R: int, Wp: int, slab_rows: int):
+    # DCT taps are compile-time f32 constants (same f32 rounding as the XLA
+    # chain path) — immediate operands, no SMEM scalar loads in the hot loop
+    D = np.asarray(_dct_matrix_np(n), np.float32)
+
+    def kernel(fscal_ref, lp_ref, e_out, slab, sem):
+        b = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            lp_ref.at[pl.ds(b * R, slab_rows)], slab, sem
+        )
+        dma.start()
+        dma.wait()
+
+        edges = fscal_ref[0]
+        textures = fscal_ref[1]
+
+        maxval = jnp.full((R, Wp), -jnp.inf, jnp.float32)
+        winner = jnp.full((R, Wp), -1, jnp.int32)
+        for ky in range(n):
+            # stage 1 — vertical DCT row for this ky (same dy chain order as
+            # ops.dct.energy_from_bands)
+            v = D[ky, 0] * slab[0:R, :]
+            for dy in range(1, n):
+                v = v + D[ky, dy] * slab[dy : dy + R, :]
+            # lane c of sh[dx] holds v[c + dx] (right-rotate by Wp - dx);
+            # wraparound lanes land beyond the valid W columns
+            sh = [v] + [
+                pltpu.roll(v, Wp - dx, axis=1) for dx in range(1, n)
+            ]
+
+            kx0 = 1 if ky == 0 else 0  # DC atom (0,0) excluded (src/dct.c:103)
+            for kx in range(kx0, n):
+                t = D[kx, 0] * sh[0]
+                for dx in range(1, n):
+                    t = t + D[kx, dx] * sh[dx]
+                a = jnp.abs(t)
+                rank = kx * n + ky
+                take_new = a > maxval
+                tie = a == maxval
+                winner = jnp.where(
+                    take_new, rank,
+                    jnp.where(tie, jnp.maximum(winner, rank), winner),
+                )
+                maxval = jnp.maximum(maxval, a)
+
+        is_edge = (winner == 1) | (winner == n)  # atoms (0,1),(1,0)
+        e_out[:, :] = maxval * jnp.where(is_edge, edges, textures)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blocksize", "center", "interpret")
+)
+def dct_energy_pallas(
+    luma: jax.Array,
+    blocksize: int,
+    edges,
+    textures,
+    *,
+    center: str = "carve",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """(H, W) f32 luma -> (H, W) f32 energy; same contract as
+    `ops.dct.dct_energy_map` (bitwise-equal values)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = blocksize
+    H, W = luma.shape
+    R = ROW_BLOCK
+    co = window_offset(n, center)
+    pb, pa = -co, n - 1 + co  # window rows i+co .. i+co+n-1, edge-clamped
+
+    nb = -(-H // R)
+    slab_rows = -(-(R + n - 1) // 8) * 8  # DMA row slices are 8-row aligned
+    pad_bot = pa + (nb * R - H) + (slab_rows - (R + n - 1))
+    Wp = -(-(W + n - 1) // LANE) * LANE
+    lp = jnp.pad(
+        luma.astype(jnp.float32),
+        ((pb, pad_bot), (pb, Wp - W - pb)),
+        mode="edge",
+    )
+
+    D = _dct_matrix_np(n)
+    fscal = jnp.concatenate([
+        jnp.stack([
+            jnp.asarray(edges, jnp.float32),
+            jnp.asarray(textures, jnp.float32),
+        ]),
+        jnp.asarray(D.reshape(-1), jnp.float32),
+    ])
+
+    out = pl.pallas_call(
+        _make_kernel(n, R, Wp, slab_rows),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, Wp), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * R, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(fscal, lp)
+    return out[:H, :W]

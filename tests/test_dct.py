@@ -86,7 +86,12 @@ def test_energy_row_block_equivalence(make_image):
     luma = to_luma(jnp.asarray(img))
     full = dct_energy_map(luma, 8, 0.2, 0.8)
     blocked = dct_energy_map(luma, 8, 0.2, 0.8, row_block=8)
-    np.testing.assert_array_equal(np.asarray(full), np.asarray(blocked))
+    # CPU LLVM contracts mul+add chains to FMA differently across fusion
+    # contexts (lax.map body vs eager) — tight allclose there; on TPU the
+    # chains are bit-identical (verified on hardware, see pallas/energy_kernel)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(blocked), rtol=5e-5, atol=1e-7
+    )
 
 
 def test_edge_weighting_discriminates():
@@ -163,3 +168,25 @@ def test_carver_energy_preview_api(make_image):
                           center="preview")
     )
     assert np.abs(e.astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_stage2_formulations_bitwise_equal(rng, dtype):
+    """Column-chunked evaluation of energy_from_bands must be bitwise equal
+    to one wide evaluation (eager dispatch both sides — exact chains); the
+    carve loop relies on it (strip vs full recompute)."""
+    import jax
+    from dct_carver_tpu.ops.dct import rows_to_bands, energy_from_bands
+
+    n = 8
+    with jax.enable_x64(dtype == "float64"):
+        luma = jnp.asarray(rng.random((24, 600)), dtype=dtype)
+        bands = rows_to_bands(luma, n)  # Cout = 600 > 512 -> looped
+        wide = energy_from_bands(bands, n, 0.3, 0.9)
+        # narrow chunks (Cout <= 512 -> flat) over the same columns
+        parts = [
+            energy_from_bands(bands[:, :, c : c + 300 + n - 1], n, 0.3, 0.9)
+            for c in range(0, 600, 300)
+        ]
+        narrow = jnp.concatenate(parts, axis=1)
+    np.testing.assert_array_equal(np.asarray(wide), np.asarray(narrow))
