@@ -174,6 +174,107 @@ def dp_backtrack(parents: jax.Array, j_last: jax.Array, *,
     return seam2d[:, 0]
 
 
+# ------------------------------------------- fused forward+backtrack kernel --
+
+# parents for the whole image persist in VMEM scratch — bound the footprint
+# (int8 H*W) to stay well inside the ~16 MB/core VMEM budget
+MAX_FUSED_PARENT_BYTES = 12 * 1024 * 1024
+
+
+def fused_seam_supported(H: int, W: int) -> bool:
+    return pallas_supported(H, W) and H * W <= MAX_FUSED_PARENT_BYTES
+
+
+def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry, p_blk,
+                       s_blk):
+    """One kernel per seam: forward DP into VMEM-resident parents; on the
+    last grid step, masked leftmost argmin of the frontier + full backtrack.
+
+    Decisions are bitwise-identical to dp_forward + XLA argmin + dp_backtrack
+    (same op order, same leftmost-min tie rules).  Single-row dynamic-offset
+    VMEM stores are not lowerable, so block tiles are staged in (R, ·)
+    scratch with static row indices and moved at block-aligned offsets."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    R, W = e_ref.shape
+    H = parents.shape[0]
+    colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    inf = jnp.float32(jnp.inf)
+    width = width_ref[0]
+    lo = width_ref[1]
+    in_win = (colids >= lo) & (colids < lo + width)
+
+    for r in range(R):  # static rows within the block
+        e_row = jnp.where(in_win, e_ref[pl.ds(r, 1), :], inf)
+        prev = carry[:]
+        left = pltpu.roll(prev, 1, axis=1)
+        right = pltpu.roll(prev, W - 1, axis=1)  # == shift -1
+        left = jnp.where(colids == 0, inf, left)
+        right = jnp.where(colids == W - 1, inf, right)
+        m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
+        p = jnp.where(
+            left <= prev,
+            jnp.where(left <= right, -1, 1),
+            jnp.where(prev <= right, 0, 1),
+        ).astype(jnp.int32)
+        is_first = jnp.logical_and(b == 0, r == 0)
+        m = jnp.where(is_first, e_row, m)
+        p = jnp.where(is_first, 0, p)
+        carry[:] = m
+        p_blk[pl.ds(r, 1), :] = p.astype(p_blk.dtype)
+
+    parents[pl.ds(pl.multiple_of(b * R, 8), R), :] = p_blk[:, :]
+
+    @pl.when(b == nb - 1)
+    def _backtrack():
+        m_last = jnp.where(in_win, carry[:], inf)
+        mn = jnp.min(m_last)
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        j0 = jnp.min(jnp.where(m_last == mn, colids, big))  # leftmost min
+
+        def blk_fn(bbr, j):
+            bb = nb - 1 - bbr  # blocks bottom-up
+            base = pl.multiple_of(bb * R, 8)
+            tile = parents[pl.ds(base, R), :].astype(jnp.int32)  # (R, W)
+            for r in range(R - 1, -1, -1):  # rows bottom-up, static
+                s_blk[pl.ds(r, 1), :] = jnp.full((1, 1), j, jnp.int32)
+                p = jnp.sum(jnp.where(colids == j, tile[r : r + 1, :], 0))
+                j = j + p
+            seam_ref[pl.ds(base, R), :] = s_blk[:, :]
+            return j
+
+        jax.lax.fori_loop(0, nb, blk_fn, j0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
+                     interpret: bool | None = None) -> jax.Array:
+    H, W = E.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    wl = jnp.stack([jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)])
+    seam2d = pl.pallas_call(
+        _fused_seam_kernel,
+        grid=(H // ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROW_BLOCK, W), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, 1), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((H, W), jnp.int8),
+            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, W), jnp.int8),
+            pltpu.VMEM((ROW_BLOCK, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(wl, E)
+    return seam2d[:, 0]
+
+
 # ------------------------------------------------------------------ driver --
 
 def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
@@ -182,8 +283,11 @@ def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
     (H, W) f32 energy -> (H,) int32 seam (buffer coordinates).
 
     Bitwise-identical decisions to mask_energy + cumulative_energy + backtrack
-    in ops/dp.py (with lo=0)."""
+    in ops/dp.py (with lo=0).  Uses the fused single-kernel path when the
+    parents array fits VMEM; otherwise the two-kernel streamed path."""
     H, W = E.shape
+    if fused_seam_supported(H, W):
+        return _fused_find_seam(E, width, lo, interpret=interpret)
     parents, mlast = dp_forward(E, width, lo, interpret=interpret)
     col = jnp.arange(W)
     masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)

@@ -41,7 +41,11 @@ from ..ops.dct import _dct_matrix_np, window_offset
 
 __all__ = ["dct_energy_pallas", "energy_pallas_supported"]
 
-ROW_BLOCK = 64  # output rows per grid step
+# output rows per grid step — small blocks keep in-kernel temporaries (~10
+# (R, Wp) f32 arrays) near 1 MB so the kernel composes with VMEM-resident
+# outputs and the fused DP kernel inside one carve program (R=64 measured
+# the same speed standalone but overflows scoped VMEM in composition)
+ROW_BLOCK = 8
 LANE = 128
 
 # slab + V + (max, winner) + out block, all (~ROW_BLOCK, Wp) f32 — keep the
