@@ -24,6 +24,10 @@ def _add_knobs(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vertically", action="store_true",
                    help="retarget height instead of width")
     p.add_argument("--luma", default="bt709", choices=["bt709", "bt601_studio"])
+    p.add_argument("--delta-x", type=int, default=1, dest="delta_x",
+                   help="max seam step per row (liblqr lqr_carver_init)")
+    p.add_argument("--rigidity", type=float, default=0.0,
+                   help="seam step penalty: rigidity * |dx| / delta_x")
     p.add_argument("--no-strip-update", action="store_true",
                    help="full energy recompute per seam")
 
@@ -139,6 +143,7 @@ def main(argv=None) -> int:
         output_energy=args.output_energy is not None,
         output_seams=args.output_seams is not None,
         luma=args.luma, strip_update=not args.no_strip_update,
+        delta_x=args.delta_x, rigidity=args.rigidity,
     )
     dt = time.perf_counter() - t0
     save_image(args.output, res.image)

@@ -142,6 +142,7 @@ class Carver:
             luma, n, cfg.blocksize, cfg.edges, cfg.textures,
             strip_update=cfg.strip_update,
             use_pallas=None if cfg.use_pallas else False,
+            delta_x=cfg.delta_x, rigidity=cfg.rigidity,
         )
         vmap = state.vmap
         if delta < 0:

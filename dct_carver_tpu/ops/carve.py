@@ -62,15 +62,16 @@ def _edge_fill(luma: jax.Array, width: jax.Array) -> jax.Array:
     return jnp.where(col < width, luma, edge)
 
 
-def _strip_bounds(seam: jax.Array, blocksize: int, W: int):
+def _strip_bounds(seam: jax.Array, blocksize: int, W: int, delta_x: int = 1):
     """Static-width strip around a removed seam covering all affected windows.
 
     After removing column s_i in row i, a pixel (i, j) (new indexing) has a
     changed window iff some row r within the window's vertical extent has
-    |j - s_r| <= r_blk (+1 for the index shift).  |s_r - s_i| <= blocksize/2
-    within the extent, so half-width = blocksize + 1 suffices.
+    |j - s_r| <= r_blk (+1 for the index shift).  |s_r - s_i| <=
+    delta_x * blocksize/2 within the extent, so half-width =
+    blocksize/2 * (1 + delta_x) + 1 suffices (= blocksize + 1 at delta_x=1).
     """
-    half = blocksize + 1
+    half = (blocksize // 2) * (1 + delta_x) + 1
     strip_w = 2 * half + 2  # a little slack; static
     start = jnp.clip(seam - half, 0, max(W - strip_w, 0))
     return start, strip_w
@@ -79,8 +80,16 @@ def _strip_bounds(seam: jax.Array, blocksize: int, W: int):
 STRIP_ROW_BLOCK = 8  # rows per block-aligned strip (static)
 
 
+def min_strip_width(blocksize: int, delta_x: int = 1) -> int:
+    """Smallest image width on which the block-aligned strip update fits."""
+    half = (blocksize // 2) * (1 + delta_x) + 1
+    strip_w = 2 * half + 2
+    swb = strip_w + delta_x * (STRIP_ROW_BLOCK - 1)
+    return swb + max(blocksize, 1)
+
+
 def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
-                     edges, textures) -> jax.Array:
+                     edges, textures, delta_x: int = 1) -> jax.Array:
     """Compacted energy with only the seam strip recomputed — block-aligned.
 
     The old energy is compacted with the same select-shift as the image.  The
@@ -102,11 +111,11 @@ def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
     r = n // 2
     R = STRIP_ROW_BLOCK
     E_shift = remove_seam(state.energy, seam)
-    start, strip_w = _strip_bounds(seam, n, W)
+    start, strip_w = _strip_bounds(seam, n, W, delta_x)
 
     nb = -(-H // R)
     pad_h = nb * R - H
-    swb = strip_w + R - 1          # block strip width (static)
+    swb = strip_w + delta_x * (R - 1)  # block strip width (static)
     gwb = swb + n - 1              # + window taps
     # padded luma: rows r-1 top / r+pad_h bottom, cols r-1 left / r right —
     # edge replication == the full path's index clamping
@@ -134,7 +143,8 @@ def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
 
 
 def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
-              strip_update: bool, use_pallas: bool = False) -> CarveState:
+              strip_update: bool, use_pallas: bool = False,
+              delta_x: int = 1, rigidity: float = 0.0) -> CarveState:
     H, W = state.luma.shape
     if use_pallas:
         from ..pallas.dp_kernel import find_seam_pallas
@@ -142,8 +152,8 @@ def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
         seam = find_seam_pallas(state.energy, state.width)
     else:
         E = mask_energy(state.energy, state.width)
-        M = cumulative_energy(E)
-        seam = backtrack(M)
+        M = cumulative_energy(E, delta_x, rigidity)
+        seam = backtrack(M, delta_x, rigidity)
 
     # record k-th seam at original coordinates (src/render.c:204-240 semantics)
     rows = jnp.arange(H)
@@ -156,7 +166,8 @@ def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
 
     if strip_update:
         mid = state._replace(luma=luma, width=new_width)
-        energy = _recompute_strip(mid, seam, blocksize, edges, textures)
+        energy = _recompute_strip(mid, seam, blocksize, edges, textures,
+                                  delta_x)
     else:
         energy = full_energy_map(luma, blocksize, edges, textures)
 
@@ -194,7 +205,8 @@ def full_energy_map(luma: jax.Array, blocksize: int, edges, textures,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_seams", "blocksize", "strip_update", "use_pallas"),
+    static_argnames=("n_seams", "blocksize", "strip_update", "use_pallas",
+                     "delta_x", "rigidity"),
 )
 def carve_n_seams(
     luma: jax.Array,
@@ -204,6 +216,8 @@ def carve_n_seams(
     textures,
     strip_update: bool = True,
     use_pallas: bool | None = None,
+    delta_x: int = 1,
+    rigidity: float = 0.0,
 ) -> CarveState:
     """Remove `n_seams` vertical seams from a (H, W) luma plane.
 
@@ -211,9 +225,16 @@ def carve_n_seams(
     (see `reconstruct_removed` / `reconstruct_enlarged`).  The first energy
     map is computed in full; subsequent seams use strip updates when enabled.
     `use_pallas`: None = auto (TPU + aligned shapes); the Pallas seam finder
-    is bitwise-identical to the scan path.
+    is bitwise-identical to the scan path.  `delta_x`/`rigidity` generalize
+    liblqr's `lqr_carver_init` parameters (see ops.dp._rigidity_penalties);
+    non-default values use the scan DP (the Pallas kernel implements the
+    reference's (1, 0) configuration).
     """
     H, W = luma.shape
+    if delta_x < 1:
+        raise ValueError(f"delta_x must be >= 1, got {delta_x}")
+    if delta_x != 1 or rigidity != 0.0:
+        use_pallas = False
     use_pallas = resolve_use_pallas(use_pallas, H, W)
     state = make_state(luma)
     # energy is stored as f32 — liblqr's gfloat (src/dct.c:96) — no matter
@@ -223,13 +244,13 @@ def carve_n_seams(
 
     # strips wider than the buffer would scatter out of bounds: fall back to
     # full recompute for tiny images (static decision; W is a trace constant)
-    strip_w = 2 * (blocksize + 1) + 2
-    if luma.shape[1] < strip_w + max(blocksize, STRIP_ROW_BLOCK - 1):
+    if luma.shape[1] < min_strip_width(blocksize, delta_x):
         strip_update = False
 
     def body(i, s):
         return _one_seam(s, (i + 1).astype(jnp.int32), blocksize, edges,
-                         textures, strip_update, use_pallas)
+                         textures, strip_update, use_pallas, delta_x,
+                         rigidity)
 
     return jax.lax.fori_loop(0, n_seams, body, state)
 

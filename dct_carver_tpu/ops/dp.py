@@ -31,16 +31,44 @@ __all__ = [
 ]
 
 
-def cumulative_energy(E: jax.Array) -> jax.Array:
-    """(H, W) energy -> (H, W) DP cumulative energy. Matches oracle bitwise
-    given bitwise-equal inputs (same op order: E + min(min(left, center), right))."""
+def _rigidity_penalties(delta_x: int, rigidity: float, dtype):
+    """Per-step-offset penalty, this framework's spec of liblqr's
+    `lqr_carver_init(delta_x, rigidity)` generalization: a seam may move up
+    to `delta_x` columns per row, and a step of |dx| costs
+    ``rigidity * |dx| / delta_x``.  The reference plugin always runs
+    (delta_x=1, rigidity=0) (`src/render.c:313`) — the parity-tested config —
+    where this reduces exactly to the classic 3-candidate recurrence."""
+    return [rigidity * abs(dx) / delta_x for dx in range(-delta_x, delta_x + 1)]
+
+
+def _shift_row(row: jax.Array, dx: int, inf) -> jax.Array:
+    """row shifted so index j holds row[j + dx]; vacated slots are +inf."""
+    if dx == 0:
+        return row
+    if dx < 0:
+        return jnp.concatenate([jnp.broadcast_to(inf, (-dx,)), row[:dx]])
+    return jnp.concatenate([row[dx:], jnp.broadcast_to(inf, (dx,))])
+
+
+def cumulative_energy(E: jax.Array, delta_x: int = 1,
+                      rigidity: float = 0.0) -> jax.Array:
+    """(H, W) energy -> (H, W) DP cumulative energy.  At the default
+    (delta_x=1, rigidity=0) this matches the oracle bitwise given
+    bitwise-equal inputs (same op order: E + min(min(left, center), right));
+    see `_rigidity_penalties` for the generalized recurrence."""
     dtype = E.dtype
-    inf = jnp.full((1,), jnp.inf, dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    pen = _rigidity_penalties(delta_x, rigidity, dtype)
 
     def step(prev, e_row):
-        left = jnp.concatenate([inf, prev[:-1]])
-        right = jnp.concatenate([prev[1:], inf])
-        m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
+        # leftmost-first candidate order; ties resolved by the backtrack
+        best = None
+        for k, dx in enumerate(range(-delta_x, delta_x + 1)):
+            cand = _shift_row(prev, dx, inf)
+            if pen[k] != 0.0:
+                cand = cand + dtype.type(pen[k])
+            best = cand if best is None else jnp.minimum(best, cand)
+        m = e_row + best
         return m, m
 
     m0 = E[0]
@@ -48,24 +76,31 @@ def cumulative_energy(E: jax.Array) -> jax.Array:
     return jnp.concatenate([m0[None], rest], axis=0)
 
 
-def backtrack(M: jax.Array) -> jax.Array:
-    """(H, W) cumulative energy -> (H,) int32 seam columns (leftmost-min ties)."""
+def backtrack(M: jax.Array, delta_x: int = 1,
+              rigidity: float = 0.0) -> jax.Array:
+    """(H, W) cumulative energy -> (H,) int32 seam columns.  Ties pick the
+    leftmost minimum among the 2*delta_x+1 (penalized) candidates."""
     H, W = M.shape
-    Mp = jnp.pad(M, ((0, 0), (1, 1)), constant_values=jnp.inf)
+    dtype = M.dtype
+    k = 2 * delta_x + 1
+    Mp = jnp.pad(M, ((0, 0), (delta_x, delta_x)), constant_values=jnp.inf)
+    pen = jnp.asarray(_rigidity_penalties(delta_x, rigidity, dtype), dtype)
     j_last = jnp.argmin(M[-1]).astype(jnp.int32)
 
     def step(j, row_p):
-        # padded window [j-1, j, j+1]; borders are +inf so never chosen
-        win = jax.lax.dynamic_slice(row_p, (j,), (3,))
-        j_new = j - 1 + jnp.argmin(win).astype(jnp.int32)
+        # padded window [j-delta_x .. j+delta_x]; borders +inf, never chosen
+        win = jax.lax.dynamic_slice(row_p, (j,), (k,))
+        if rigidity != 0.0:
+            win = win + pen
+        j_new = j - delta_x + jnp.argmin(win).astype(jnp.int32)
         return j_new, j_new
 
     _, seam_rev = jax.lax.scan(step, j_last, Mp[:-1][::-1])
     return jnp.concatenate([seam_rev[::-1], j_last[None]])
 
 
-def find_seam(E: jax.Array) -> jax.Array:
-    return backtrack(cumulative_energy(E))
+def find_seam(E: jax.Array, delta_x: int = 1, rigidity: float = 0.0) -> jax.Array:
+    return backtrack(cumulative_energy(E, delta_x, rigidity), delta_x, rigidity)
 
 
 def mask_energy(E: jax.Array, width: jax.Array) -> jax.Array:

@@ -214,8 +214,19 @@ def energy_map(
     return out
 
 
-def cumulative_energy(E: np.ndarray) -> np.ndarray:
-    """DP cumulative energy, delta_x=1, rigidity=0 (src/render.c:313). f32 in/out."""
+def rigidity_penalty(dx: int, delta_x: int, rigidity: float) -> float:
+    """This framework's spec of the liblqr `lqr_carver_init(delta_x,
+    rigidity)` generalization: a seam may step up to `delta_x` columns per
+    row and a step of |dx| costs ``rigidity * |dx| / delta_x``.  The
+    reference plugin always runs (1, 0) (src/render.c:313) — the
+    parity-tested configuration, where the penalty vanishes."""
+    return rigidity * abs(dx) / delta_x
+
+
+def cumulative_energy(E: np.ndarray, delta_x: int = 1,
+                      rigidity: float = 0.0) -> np.ndarray:
+    """DP cumulative energy; defaults are the reference's delta_x=1,
+    rigidity=0 (src/render.c:313). f32 in/out."""
     E = np.asarray(E, dtype=np.float32)
     H, W = E.shape
     M = np.empty_like(E)
@@ -223,28 +234,49 @@ def cumulative_energy(E: np.ndarray) -> np.ndarray:
     INF = np.float32(np.inf)
     for i in range(1, H):
         prev = M[i - 1]
-        left = np.concatenate(([INF], prev[:-1]))
-        right = np.concatenate((prev[1:], [INF]))
-        M[i] = E[i] + np.minimum(np.minimum(left, prev), right)
+        best = None
+        for dx in range(-delta_x, delta_x + 1):
+            if dx < 0:
+                cand = np.concatenate((np.full(-dx, INF), prev[:dx]))
+            elif dx > 0:
+                cand = np.concatenate((prev[dx:], np.full(dx, INF)))
+            else:
+                cand = prev
+            pen = rigidity_penalty(dx, delta_x, rigidity)
+            if pen != 0.0:
+                cand = cand + np.float32(pen)
+            best = cand if best is None else np.minimum(best, cand)
+        M[i] = E[i] + best
     return M
 
 
-def backtrack_seam(M: np.ndarray) -> np.ndarray:
-    """Leftmost-argmin backtrack. Returns seam column per row, int32 (H,)."""
+def backtrack_seam(M: np.ndarray, delta_x: int = 1,
+                   rigidity: float = 0.0) -> np.ndarray:
+    """Leftmost-argmin backtrack over the (penalized) candidate window.
+    Returns seam column per row, int32 (H,)."""
     H, W = M.shape
     seam = np.empty(H, dtype=np.int32)
     j = int(np.argmin(M[-1]))  # leftmost min
     seam[-1] = j
+    pen = np.asarray(
+        [rigidity_penalty(dx, delta_x, rigidity)
+         for dx in range(-delta_x, delta_x + 1)], np.float32,
+    )
+    INF = np.float32(np.inf)
     for i in range(H - 2, -1, -1):
-        lo = max(j - 1, 0)
-        hi = min(j + 1, W - 1)
-        j = lo + int(np.argmin(M[i, lo : hi + 1]))  # leftmost min
+        cand = np.full(2 * delta_x + 1, INF)
+        for k, dx in enumerate(range(-delta_x, delta_x + 1)):
+            c = j + dx
+            if 0 <= c < W:
+                cand[k] = M[i, c] + pen[k] if rigidity != 0.0 else M[i, c]
+        j = j - delta_x + int(np.argmin(cand))  # leftmost min
         seam[i] = j
     return seam
 
 
-def find_seam(E: np.ndarray) -> np.ndarray:
-    return backtrack_seam(cumulative_energy(E))
+def find_seam(E: np.ndarray, delta_x: int = 1, rigidity: float = 0.0) -> np.ndarray:
+    return backtrack_seam(cumulative_energy(E, delta_x, rigidity),
+                          delta_x, rigidity)
 
 
 def _remove_seam(arr: np.ndarray, seam: np.ndarray) -> np.ndarray:
@@ -263,6 +295,8 @@ def carve_seams(
     edges: float,
     textures: float,
     luma_fn=luma_bt709,
+    delta_x: int = 1,
+    rigidity: float = 0.0,
 ):
     """Remove `n_seams` vertical seams. Returns (carved_image, vmap, first_energy).
 
@@ -284,7 +318,7 @@ def carve_seams(
         E = energy_map(luma, blocksize, edges, textures)
         if first_energy is None:
             first_energy = E
-        seam = find_seam(E)
+        seam = find_seam(E, delta_x, rigidity)
         vmap[np.arange(H), origcol[np.arange(H), seam]] = k
         cur = _remove_seam(cur, seam)
         luma = _remove_seam(luma, seam)

@@ -1,29 +1,33 @@
 """Fused separable-DCT + argmax energy kernel (SURVEY §7.3a).
 
 The XLA path (`ops/dct.py`) materializes per-atom DCT responses in HBM —
-~n²× the image size of write+read traffic (≈21 ms for a 1080p/8×8 map on one
-v5e chip).  This kernel streams row slabs HBM→VMEM once and keeps every
-intermediate (vertical DCT row, per-atom response, running argmax) in
-VMEM/vregs, writing only the final (H, W) energy — traffic = read luma +
-write energy.
+~n²× the image size of write+read traffic.  This kernel streams row slabs
+HBM→VMEM once and keeps every intermediate (vertical DCT row, per-atom
+response, running argmax) in VMEM, writing only the final (H, W) energy.
 
 Math and conventions are identical to `ops.dct.energy_from_bands`
 (`/root/reference/src/dct.c:96-110` semantics: max |AC coefficient|,
 last-tie-wins in rank = kx·n + ky, DC excluded, edge/texture weighting of
 atoms (0,1)/(1,0); window offsets per `src/render.c:146-151` ("carve") or
-`src/dct.h:8-9` ("preview"); border clamping via edge padding).  The scalar
-multiply-add chains follow the same contraction order as the XLA einsums, so
-results are bitwise equal — asserted in tests/test_energy_kernel.py and
-relied on by the carve loop (strip updates run in XLA, full maps here).
+`src/dct.h:8-9` ("preview"); border clamping via edge padding).  The
+multiply-add chains use the same order and the same f32-rounded constants as
+the XLA chain path, so results are bitwise equal on TPU (verified on
+hardware for all blocksizes); CPU interpret-mode comparisons carry ~ulp
+LLVM-FMA noise (see tests/test_energy_kernel.py).
 
-Structure per grid step (one R-row block):
+Batching: blocks have no cross-block carry, so a batch is just more grid
+steps over a row-flattened (B·S, Wp) layout (S = per-image padded stride).
+A `custom_vmap` rule routes `jax.vmap` (e.g. the batch-parallel carve in
+parallel/mesh.py) to that flattened single-kernel form.
+
+Structure per grid step (one R-row block of one image):
   * DMA an (R + n - 1)-row slab into VMEM (rows overlap between blocks —
     BlockSpecs cannot express that, hence the manual copy from ANY).
-  * stage 1: for each ky, the vertical 1-D DCT row V_ky as an n-term FMA
-    chain over static sublane-offset slab slices.
+  * stage 1: for each ky, the vertical 1-D DCT row V_ky as an n-term
+    multiply-add chain over static sublane-offset slab slices.
   * stage 2: per ky, the n static lane rotations of V_ky are built once;
-    a fori_loop over kx forms each atom response as an n-term FMA chain
-    with D read from SMEM, folding |T| into the running (max, winner).
+    each atom response is an n-term chain with compile-time-constant taps,
+    folded into the running (max, winner).
 """
 
 from __future__ import annotations
@@ -58,15 +62,19 @@ def energy_pallas_supported(W: int, blocksize: int) -> bool:
     return Wp <= MAX_WP
 
 
-def _make_kernel(n: int, R: int, Wp: int, slab_rows: int):
+def _make_kernel(n: int, R: int, Wp: int, slab_rows: int, nb: int,
+                 stride: int):
     # DCT taps are compile-time f32 constants (same f32 rounding as the XLA
     # chain path) — immediate operands, no SMEM scalar loads in the hot loop
     D = np.asarray(_dct_matrix_np(n), np.float32)
 
     def kernel(fscal_ref, lp_ref, e_out, slab, sem):
-        b = pl.program_id(0)
+        g = pl.program_id(0)
+        e = g // nb   # image index within the flattened batch
+        b = g % nb    # row block within the image
+        off = pl.multiple_of(e * stride + b * R, 8)
         dma = pltpu.make_async_copy(
-            lp_ref.at[pl.ds(b * R, slab_rows)], slab, sem
+            lp_ref.at[pl.ds(off, slab_rows)], slab, sem
         )
         dma.start()
         dma.wait()
@@ -112,6 +120,97 @@ def _make_kernel(n: int, R: int, Wp: int, slab_rows: int):
 @functools.partial(
     jax.jit, static_argnames=("blocksize", "center", "interpret")
 )
+def _energy_pallas_batched(
+    lumas: jax.Array,  # (B, H, W) f32
+    blocksize: int,
+    edges,
+    textures,
+    center: str = "carve",
+    interpret: bool | None = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = _interpret_default()
+    n = blocksize
+    B, H, W = lumas.shape
+    R = ROW_BLOCK
+    co = window_offset(n, center)
+    pb, pa = -co, n - 1 + co  # window rows i+co .. i+co+n-1, edge-clamped
+
+    nb = -(-H // R)
+    slab_rows = -(-(R + n - 1) // 8) * 8  # DMA row slices are 8-row aligned
+    # per-image stride: padded rows, rounded so every image starts 8-aligned
+    # and the last slab of an image stays inside its own padding
+    rows_needed = pb + H + pa + (nb * R - H) + (slab_rows - (R + n - 1))
+    stride = -(-rows_needed // 8) * 8
+    pad_bot = stride - pb - H
+    Wp = -(-(W + n - 1) // LANE) * LANE
+    lp = jax.vmap(
+        lambda l: jnp.pad(
+            l.astype(jnp.float32), ((pb, pad_bot), (pb, Wp - W - pb)),
+            mode="edge",
+        )
+    )(lumas).reshape(B * stride, Wp)
+
+    fscal = jnp.stack([
+        jnp.asarray(edges, jnp.float32),
+        jnp.asarray(textures, jnp.float32),
+    ])
+
+    out = pl.pallas_call(
+        _make_kernel(n, R, Wp, slab_rows, nb, stride),
+        grid=(B * nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, Wp), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nb * R, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(fscal, lp)
+    return out.reshape(B, nb * R, Wp)[:, :H, :W]
+
+
+@functools.lru_cache(maxsize=None)
+def _energy_cv(blocksize: int, center: str, interpret: bool | None):
+    """custom_vmap wrapper per static config: vmap maps to the flattened
+    batched kernel instead of an (unsupported) batched BlockSpec."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(luma, edges, textures):
+        return _energy_pallas_batched(
+            luma[None], blocksize, edges, textures, center, interpret
+        )[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, luma, edges, textures):
+        luma_b, e_b, t_b = in_batched
+        if not luma_b:
+            luma = jnp.broadcast_to(luma[None], (axis_size, *luma.shape))
+        if e_b or t_b:
+            # per-image knobs: one kernel per image (rare path)
+            out = jax.lax.map(
+                lambda args: f(args[0], args[1], args[2]),
+                (luma,
+                 jnp.broadcast_to(jnp.asarray(edges), (axis_size,)) if not e_b
+                 else edges,
+                 jnp.broadcast_to(jnp.asarray(textures), (axis_size,)) if not t_b
+                 else textures),
+            )
+        else:
+            out = _energy_pallas_batched(
+                luma, blocksize, edges, textures, center, interpret
+            )
+        return out, True
+
+    return f
+
+
 def dct_energy_pallas(
     luma: jax.Array,
     blocksize: int,
@@ -122,48 +221,9 @@ def dct_energy_pallas(
     interpret: bool | None = None,
 ) -> jax.Array:
     """(H, W) f32 luma -> (H, W) f32 energy; same contract as
-    `ops.dct.dct_energy_map` (bitwise-equal values)."""
-    if interpret is None:
-        interpret = _interpret_default()
-    n = blocksize
-    H, W = luma.shape
-    R = ROW_BLOCK
-    co = window_offset(n, center)
-    pb, pa = -co, n - 1 + co  # window rows i+co .. i+co+n-1, edge-clamped
-
-    nb = -(-H // R)
-    slab_rows = -(-(R + n - 1) // 8) * 8  # DMA row slices are 8-row aligned
-    pad_bot = pa + (nb * R - H) + (slab_rows - (R + n - 1))
-    Wp = -(-(W + n - 1) // LANE) * LANE
-    lp = jnp.pad(
-        luma.astype(jnp.float32),
-        ((pb, pad_bot), (pb, Wp - W - pb)),
-        mode="edge",
+    `ops.dct.dct_energy_map` (bitwise-equal values on TPU).  Composable with
+    `jax.vmap` (batch lowers to one flattened kernel launch)."""
+    return _energy_cv(blocksize, center, interpret)(
+        luma, jnp.asarray(edges, jnp.float32),
+        jnp.asarray(textures, jnp.float32),
     )
-
-    D = _dct_matrix_np(n)
-    fscal = jnp.concatenate([
-        jnp.stack([
-            jnp.asarray(edges, jnp.float32),
-            jnp.asarray(textures, jnp.float32),
-        ]),
-        jnp.asarray(D.reshape(-1), jnp.float32),
-    ])
-
-    out = pl.pallas_call(
-        _make_kernel(n, R, Wp, slab_rows),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((R, Wp), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * R, Wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((slab_rows, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(fscal, lp)
-    return out[:H, :W]

@@ -79,8 +79,10 @@ def carve_resumable(
     chunk), snapshotting after each chunk.  `progress` is an optional
     `Progress` (utils/progress.py) mirroring the liblqr progress hooks.
     """
-    from ..ops.carve import make_state, _one_seam  # noqa: PLC0415
-    from ..ops.dct import dct_energy_map
+    from ..ops.carve import (  # noqa: PLC0415
+        make_state, _one_seam, full_energy_map, min_strip_width,
+        resolve_use_pallas,
+    )
     import jax
 
     if resume_from is not None:
@@ -92,22 +94,20 @@ def carve_resumable(
         config = cfg_loaded
     else:
         state = make_state(jnp.asarray(luma))
-        e0 = jax.jit(dct_energy_map, static_argnames=("blocksize",))(
+        e0 = jax.jit(full_energy_map, static_argnames=("blocksize",))(
             state.luma, config.blocksize, config.edges, config.textures
-        ).astype(jnp.float32)
+        )
         state = state._replace(energy=e0)
         done = 0
 
     chunk = checkpoint_every if checkpoint_every > 0 else n_seams
     # same tiny-image guard as carve_n_seams: strips must fit in the buffer
     strip = config.strip_update and (
-        state.luma.shape[1] >= 2 * (config.blocksize + 1) + 2 + config.blocksize
+        state.luma.shape[1] >= min_strip_width(config.blocksize, config.delta_x)
     )
-    from ..ops.carve import resolve_use_pallas
-
     use_pallas = resolve_use_pallas(
         None if config.use_pallas else False, *state.luma.shape
-    )
+    ) and config.delta_x == 1 and config.rigidity == 0.0
 
     @jax.jit
     def run_chunk(state, start, count):
@@ -115,6 +115,7 @@ def carve_resumable(
             return _one_seam(
                 s, (start + i + 1).astype(jnp.int32), config.blocksize,
                 config.edges, config.textures, strip, use_pallas,
+                config.delta_x, config.rigidity,
             )
         return jax.lax.fori_loop(0, count, body, state)
 

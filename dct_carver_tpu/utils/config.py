@@ -25,6 +25,10 @@ class CarverConfig:
     output_seams: bool = False  # also produce the seam visibility map
     vertically: bool = False    # retarget HEIGHT instead of width
 
+    # --- liblqr lqr_carver_init generalization (src/render.c:313 uses 1, 0) ---
+    delta_x: int = 1            # max seam step per row (>= 1)
+    rigidity: float = 0.0       # step penalty: rigidity * |dx| / delta_x
+
     # --- framework knobs (no effect on carve results) ---
     luma: str = "bt709"         # "bt709" (carve path) | "bt601_studio" (preview)
     use_pallas: bool = True     # fused TPU kernels where available
@@ -37,6 +41,10 @@ class CarverConfig:
         if not (0 <= self.edges <= 1 and 0 <= self.textures <= 1):
             # reference sliders span [0,1] (src/interface.c:631-639)
             raise ValueError("edges/textures must be in [0, 1]")
+        if self.delta_x < 1:
+            raise ValueError(f"delta_x must be >= 1, got {self.delta_x}")
+        if self.rigidity < 0:
+            raise ValueError(f"rigidity must be >= 0, got {self.rigidity}")
 
     @property
     def radius(self) -> int:
