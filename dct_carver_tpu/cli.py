@@ -85,11 +85,35 @@ def main(argv=None) -> int:
     c = sub.add_parser("carve", help="seam-carve retargeting")
     c.add_argument("input")
     c.add_argument("output")
-    c.add_argument("--seams", type=int, required=True,
+    c.add_argument("--seams", type=int, default=None,
                    help="signed seam count: <0 remove, >0 insert")
     c.add_argument("--output-energy", metavar="PATH", default=None)
     c.add_argument("--output-seams", metavar="PATH", default=None)
+    c.add_argument("--last-vals", action="store_true",
+                   help="rerun with the previously saved settings "
+                        "(GIMP_RUN_WITH_LAST_VALS, src/main.c:193-205)")
+    c.add_argument("--progress", action="store_true",
+                   help="per-chunk progress on stderr (liblqr progress hooks)")
+    c.add_argument("--checkpoint", metavar="PATH", default=None,
+                   help="snapshot carver state here every --checkpoint-every "
+                        "seams (resume with --resume)")
+    c.add_argument("--checkpoint-every", type=int, default=32)
+    c.add_argument("--resume", metavar="PATH", default=None,
+                   help="resume an interrupted carve from a checkpoint")
     _add_knobs(c)
+
+    it = sub.add_parser(
+        "interactive",
+        help="precompute-once / slide-many retargeting: compute max-seams "
+             "once, then emit any number of widths as cheap gathers "
+             "(the interactive-dialog capability, src/interface.c:37-154)")
+    it.add_argument("input")
+    it.add_argument("output_pattern",
+                    help="output path with a {w} placeholder, e.g. out_{w}.png")
+    it.add_argument("--max-seams", type=int, required=True)
+    it.add_argument("--widths", type=int, nargs="+", default=None,
+                    help="explicit target widths (default: 5 evenly spaced)")
+    _add_knobs(it)
 
     e = sub.add_parser("energy", help="export the normalized energy image")
     e.add_argument("input")
@@ -120,6 +144,29 @@ def main(argv=None) -> int:
 
     img = load_image(args.input)
 
+    if args.cmd == "interactive":
+        from .models.retarget import InteractiveRetargeter
+
+        rt = InteractiveRetargeter(
+            img, args.max_seams, blocksize=args.blocksize, edges=args.edges,
+            textures=args.textures, luma=args.luma, delta_x=args.delta_x,
+            rigidity=args.rigidity, vertical=args.vertically,
+            strip_update=not args.no_strip_update,
+        )
+        dim = img.shape[0] if args.vertically else img.shape[1]
+        widths = args.widths or [
+            dim + d for d in sorted({
+                -args.max_seams, -args.max_seams // 2, 0,
+                args.max_seams // 2, args.max_seams,
+            })
+        ]
+        for w in widths:
+            out = rt.at_width(w)
+            path = args.output_pattern.format(w=w)
+            save_image(path, out)
+            print(f"{path}: {out.shape[1]}x{out.shape[0]}", file=sys.stderr)
+        return 0
+
     if args.cmd == "energy":
         from .models.carver import Carver
         from .utils.config import CarverConfig
@@ -133,19 +180,58 @@ def main(argv=None) -> int:
         save_image(args.output, out)
         return 0
 
-    from .api import carve
+    from .utils.settings import load_last_vals, save_last_vals
 
-    t0 = time.perf_counter()
-    res = carve(
-        img, args.seams,
-        blocksize=args.blocksize, edges=args.edges, textures=args.textures,
-        vertically=args.vertically,
-        output_energy=args.output_energy is not None,
-        output_seams=args.output_seams is not None,
-        luma=args.luma, strip_update=not args.no_strip_update,
+    knobs = dict(
+        seams_number=args.seams, blocksize=args.blocksize, edges=args.edges,
+        textures=args.textures, vertically=args.vertically, luma=args.luma,
         delta_x=args.delta_x, rigidity=args.rigidity,
     )
+    if args.last_vals:
+        stored = load_last_vals()
+        if not stored:
+            print("no saved settings; run once without --last-vals first",
+                  file=sys.stderr)
+            return 1
+        knobs.update({k: v for k, v in stored.items() if k in knobs})
+    if knobs["seams_number"] is None:
+        print("--seams is required (or use --last-vals)", file=sys.stderr)
+        return 1
+
+    from .models.carver import Carver
+    from .utils.config import CarverConfig
+    from .utils.progress import StderrProgress
+
+    cfg = CarverConfig(
+        output_energy=args.output_energy is not None,
+        output_seams=args.output_seams is not None,
+        strip_update=not args.no_strip_update,
+        **knobs,
+    )
+    carver = Carver(
+        img, cfg,
+        progress=StderrProgress() if args.progress else None,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume,
+    )
+    h0, w0 = img.shape[:2]
+    s0 = cfg.seams_number
+    t0 = time.perf_counter()
+    if s0 == 0:
+        from .api import carve as _carve_api
+
+        res = _carve_api(img, 0, blocksize=cfg.blocksize, edges=cfg.edges,
+                         textures=cfg.textures,
+                         output_energy=cfg.output_energy,
+                         output_seams=cfg.output_seams, luma=cfg.luma)
+    elif cfg.vertically:
+        res = carver.resize(w0, h0 + s0)
+    else:
+        res = carver.resize(w0 + s0, h0)
     dt = time.perf_counter() - t0
+    save_last_vals(knobs)
+    args.seams = s0
     save_image(args.output, res.image)
     if args.output_energy:
         save_image(args.output_energy, res.energy_image)

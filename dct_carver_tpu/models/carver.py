@@ -67,12 +67,21 @@ class Carver:
     retargeting transposes internally (liblqr behavior, src/render.c:358-364).
     """
 
-    def __init__(self, image, config: CarverConfig | None = None, **overrides):
+    def __init__(self, image, config: CarverConfig | None = None, *,
+                 progress=None, checkpoint_path: str | None = None,
+                 checkpoint_every: int = 0, resume_from: str | None = None,
+                 **overrides):
+        """`progress` is a utils.progress.Progress (the analog of
+        lqr_carver_set_progress, src/render.c:316); checkpoint_* / resume_from
+        route the seam loop through utils.checkpoint.carve_resumable.  With
+        bidirectional resizes they apply to the WIDTH pass (the first one)."""
         if config is None:
             config = CarverConfig(**overrides)
         elif overrides:
             config = dataclasses.replace(config, **overrides)
         self.config = config
+        self.progress = progress
+        self._ckpt = (checkpoint_path, checkpoint_every, resume_from)
         self.image = np.asarray(image)
         if self.image.ndim not in (2, 3):
             raise ValueError("image must be (H, W) or (H, W, C)")
@@ -138,12 +147,23 @@ class Carver:
             )
         dev_img = jnp.asarray(img)
         luma = _to_luma_jit(dev_img, mode=cfg.luma)
-        state = carve_ops.carve_n_seams(
-            luma, n, cfg.blocksize, cfg.edges, cfg.textures,
-            strip_update=cfg.strip_update,
-            use_pallas=None if cfg.use_pallas else False,
-            delta_x=cfg.delta_x, rigidity=cfg.rigidity,
-        )
+        ckpt_path, ckpt_every, resume = self._ckpt
+        if transpose or (self.progress is None and ckpt_path is None
+                         and resume is None):
+            state = carve_ops.carve_n_seams(
+                luma, n, cfg.blocksize, cfg.edges, cfg.textures,
+                strip_update=cfg.strip_update,
+                use_pallas=None if cfg.use_pallas else False,
+                delta_x=cfg.delta_x, rigidity=cfg.rigidity,
+            )
+        else:
+            from ..utils.checkpoint import carve_resumable
+
+            state = carve_resumable(
+                luma, n, cfg, checkpoint_path=ckpt_path,
+                checkpoint_every=ckpt_every, resume_from=resume,
+                progress=self.progress,
+            )
         vmap = state.vmap
         if delta < 0:
             out = carve_ops.reconstruct_removed(dev_img, vmap, n)

@@ -63,6 +63,8 @@ class InteractiveRetargeter:
         state = carve_ops.carve_n_seams(
             luma, self.max_seams, config.blocksize, config.edges,
             config.textures, strip_update=config.strip_update,
+            use_pallas=None if config.use_pallas else False,
+            delta_x=config.delta_x, rigidity=config.rigidity,
         )
         self._vmap = state.vmap  # ordered seams, original coordinates
 

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# keep CLI settings persistence (utils/settings.py) away from the real
+# ~/.config — tests must not leak state between runs or into the user's env
+import tempfile  # noqa: E402
+
+os.environ["DCT_CARVER_STATE_DIR"] = tempfile.mkdtemp(prefix="dct_carver_test_")
+
 # the environment pins JAX_PLATFORMS=axon (the attached TPU) and something in
 # the plugin stack re-asserts it over the env var — force the config directly
 import jax  # noqa: E402

@@ -122,3 +122,93 @@ def test_graft_entry():
     vmap, energy = jax.jit(fn)(*args)
     assert vmap.shape == (256, 256)
     ge.dryrun_multichip(8)
+
+
+def test_cli_interactive_mode(tmp_path, make_image):
+    from dct_carver_tpu.cli import main
+    from dct_carver_tpu.utils.image import save_ppm, load_ppm
+
+    img = make_image(20, 40, c=3)
+    inp = tmp_path / "in.ppm"
+    save_ppm(str(inp), img)
+    pattern = str(tmp_path / "out_{w}.ppm")
+    rc = main(["interactive", str(inp), pattern, "--max-seams", "6",
+               "--widths", "34", "38", "40"])
+    assert rc == 0
+    for w in (34, 38, 40):
+        out = load_ppm(pattern.format(w=w))
+        assert out.shape == (20, w, 3)
+    # width 40 (no change) round-trips the original image
+    np.testing.assert_array_equal(load_ppm(pattern.format(w=40)), img)
+
+
+def test_cli_last_vals(tmp_path, make_image, monkeypatch):
+    from dct_carver_tpu.cli import main
+    from dct_carver_tpu.utils.image import save_ppm, load_ppm
+
+    monkeypatch.setenv("DCT_CARVER_STATE_DIR", str(tmp_path / "state"))
+    img = make_image(20, 30, c=3)
+    inp = tmp_path / "in.ppm"
+    save_ppm(str(inp), img)
+    out1 = tmp_path / "o1.ppm"
+    out2 = tmp_path / "o2.ppm"
+    rc = main(["carve", str(inp), str(out1), "--seams", "-5",
+               "--blocksize", "4"])
+    assert rc == 0
+    # rerun with the saved settings: no --seams/--blocksize needed
+    rc = main(["carve", str(inp), str(out2), "--last-vals"])
+    assert rc == 0
+    np.testing.assert_array_equal(load_ppm(str(out1)), load_ppm(str(out2)))
+
+
+def test_cli_last_vals_without_history(tmp_path, make_image, monkeypatch):
+    from dct_carver_tpu.cli import main
+    from dct_carver_tpu.utils.image import save_ppm
+
+    monkeypatch.setenv("DCT_CARVER_STATE_DIR", str(tmp_path / "empty"))
+    inp = tmp_path / "in.ppm"
+    save_ppm(str(inp), make_image(10, 12, c=3))
+    assert main(["carve", str(inp), str(tmp_path / "o.ppm"),
+                 "--last-vals"]) == 1
+    assert main(["carve", str(inp), str(tmp_path / "o.ppm")]) == 1  # no seams
+
+
+def test_cli_checkpoint_resume(tmp_path, make_image, monkeypatch):
+    from dct_carver_tpu.cli import main
+    from dct_carver_tpu.utils.image import save_ppm, load_ppm
+
+    monkeypatch.setenv("DCT_CARVER_STATE_DIR", str(tmp_path / "state"))
+    img = make_image(24, 48, c=3)
+    inp = tmp_path / "in.ppm"
+    save_ppm(str(inp), img)
+    ref = tmp_path / "ref.ppm"
+    ckpt = tmp_path / "ck.npz"
+    out = tmp_path / "out.ppm"
+    assert main(["carve", str(inp), str(ref), "--seams", "-8"]) == 0
+    # checkpointed run writes snapshots; a resumed run completes identically
+    assert main(["carve", str(inp), str(out), "--seams", "-8",
+                 "--checkpoint", str(ckpt), "--checkpoint-every", "3"]) == 0
+    np.testing.assert_array_equal(load_ppm(str(ref)), load_ppm(str(out)))
+    assert ckpt.exists()
+
+
+def test_carver_progress_hook(make_image):
+    from dct_carver_tpu.models.carver import Carver
+
+    class Rec:
+        def __init__(self):
+            self.events = []
+        def init(self, m):
+            self.events.append(("init", m))
+        def update(self, f):
+            self.events.append(("update", f))
+        def end(self):
+            self.events.append(("end",))
+
+    img = make_image(20, 30, c=3)
+    rec = Rec()
+    res = Carver(img, progress=rec).resize(25, 20)
+    assert res.image.shape == (20, 25, 3)
+    kinds = [e[0] for e in rec.events]
+    assert kinds[0] == "init" and kinds[-1] == "end" and "update" in kinds
+    assert rec.events[-2] == ("update", 1.0)
