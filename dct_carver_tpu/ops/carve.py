@@ -142,6 +142,65 @@ def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
     return out.reshape(nb * R, W)[:H]
 
 
+def _strip_block_dims(blocksize: int, delta_x: int = 1):
+    """(swb, gwb): static widths of the block-shared strip and its tap window."""
+    half = (blocksize // 2) * (1 + delta_x) + 1
+    strip_w = 2 * half + 2
+    swb = strip_w + delta_x * (STRIP_ROW_BLOCK - 1)
+    return swb, swb + blocksize - 1
+
+
+def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
+                            edges, textures, delta_x: int = 1) -> jax.Array:
+    """Same contract and bitwise-identical values as `_recompute_strip`, with
+    the slow XLA gather/scatter replaced by the Pallas window kernels
+    (pallas/strip_kernel.py).  The energy VALUES still come from the same
+    `energy_from_bands` chains, so strip == full recompute stays exact.
+
+    Requires H % 8 == 0, W % 128 == 0, W >= 256, gwb <= 128
+    (see `strip_pallas_ok`).
+    """
+    from ..pallas.strip_kernel import gather_slabs, scatter_strips
+
+    H, W = state.luma.shape
+    n = blocksize
+    r = n // 2
+    R = STRIP_ROW_BLOCK
+    E_shift = remove_seam(state.energy, seam)
+    start, _ = _strip_bounds(seam, n, W, delta_x)
+    nb = H // R
+    swb, gwb = _strip_block_dims(n, delta_x)
+    bs = jnp.clip(jnp.min(start.reshape(nb, R), axis=1),
+                  0, max(W - swb, 0)).astype(jnp.int32)
+
+    # padded luma: cols [r-1 left | W | to lane multiple right], rows
+    # [r-1 top | H | enough for the last block's slab DMA]; edge replication
+    # == the full path's index clamping (src/render.c:146-151)
+    slab_rows = -(-(R + n - 1) // 8) * 8
+    Wl = -(-(r - 1 + W + r) // 128) * 128
+    pad_bot = slab_rows - R - (r - 1)
+    lp = jnp.pad(state.luma, ((r - 1, pad_bot), (r - 1, Wl - W - (r - 1))),
+                 mode="edge")
+
+    slab256 = gather_slabs(lp, bs, slab_rows)      # (nb, slab_rows, 256)
+    bands = jnp.stack(
+        [slab256[:, rr : rr + n, :gwb] for rr in range(R)], axis=1
+    )
+    strip_E = energy_from_bands(
+        bands.reshape(nb * R, n, gwb), n, edges, textures
+    ).astype(jnp.float32).reshape(nb, R, swb)
+    strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, 256 - swb)))
+    return scatter_strips(E_shift, strips, bs, swb)
+
+
+def strip_pallas_ok(H: int, W: int, blocksize: int, delta_x: int = 1) -> bool:
+    """Static gate for the Pallas strip path (window fits one 256-lane tile)."""
+    from ..pallas.strip_kernel import strip_pallas_supported
+
+    _, gwb = _strip_block_dims(blocksize, delta_x)
+    return strip_pallas_supported(H, W) and gwb <= 128
+
+
 def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
               strip_update: bool, use_pallas: bool = False,
               delta_x: int = 1, rigidity: float = 0.0) -> CarveState:
@@ -166,8 +225,12 @@ def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
 
     if strip_update:
         mid = state._replace(luma=luma, width=new_width)
-        energy = _recompute_strip(mid, seam, blocksize, edges, textures,
-                                  delta_x)
+        if use_pallas and strip_pallas_ok(H, W, blocksize, delta_x):
+            energy = _recompute_strip_pallas(mid, seam, blocksize, edges,
+                                             textures, delta_x)
+        else:
+            energy = _recompute_strip(mid, seam, blocksize, edges, textures,
+                                      delta_x)
     else:
         energy = full_energy_map(luma, blocksize, edges, textures)
 

@@ -262,7 +262,7 @@ def seam_apply(
             pl.BlockSpec((n, n), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((slab_rows, 1), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, Wp), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, Wp), blk, memory_space=pltpu.VMEM),
         ],
