@@ -30,6 +30,10 @@ def _add_knobs(p: argparse.ArgumentParser) -> None:
                    help="seam step penalty: rigidity * |dx| / delta_x")
     p.add_argument("--no-strip-update", action="store_true",
                    help="full energy recompute per seam")
+    p.add_argument("--energy", default="dct",
+                   choices=["dct", "grad_xabs", "grad_sumabs", "grad_norm"],
+                   help="energy function (lqr_carver_set_energy_function "
+                        "analog); 'dct' = the reference's DCT energy")
 
 
 def _run_batch(args) -> int:
@@ -173,7 +177,7 @@ def main(argv=None) -> int:
 
         cfg = CarverConfig(
             blocksize=args.blocksize, edges=args.edges, textures=args.textures,
-            vertically=args.vertically, luma=args.luma,
+            vertically=args.vertically, luma=args.luma, energy=args.energy,
         )
         carver = Carver(img, cfg)
         out = carver.energy_preview() if args.preview else carver.energy_image()
@@ -185,7 +189,7 @@ def main(argv=None) -> int:
     knobs = dict(
         seams_number=args.seams, blocksize=args.blocksize, edges=args.edges,
         textures=args.textures, vertically=args.vertically, luma=args.luma,
-        delta_x=args.delta_x, rigidity=args.rigidity,
+        delta_x=args.delta_x, rigidity=args.rigidity, energy=args.energy,
     )
     if args.last_vals:
         stored = load_last_vals()

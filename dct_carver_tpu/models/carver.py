@@ -32,15 +32,19 @@ __all__ = ["Carver", "CarveResult"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blocksize", "luma_mode", "row_block", "center")
+    jax.jit,
+    static_argnames=("blocksize", "luma_mode", "row_block", "center",
+                     "energy_fn"),
 )
 def _energy_u8_jit(image, blocksize, edges, textures, luma_mode, row_block,
-                   center="carve"):
+                   center="carve", energy_fn=None):
     """One fused device program for the energy-image export — everything
     outside jit runs eagerly (one dispatch per op), which is pathologically
     slow over a tunneled TPU."""
     plane = to_luma(image, luma_mode)
-    if row_block is None:
+    if energy_fn is not None:
+        e = energy_fn.energy_map(plane, center)
+    elif row_block is None:
         from ..ops.carve import full_energy_map
 
         e = full_energy_map(plane, blocksize, edges, textures, center=center)
@@ -97,7 +101,8 @@ class Carver:
         if vertically:
             img = jnp.swapaxes(img, 0, 1)
         out = _energy_u8_jit(img, cfg.blocksize, cfg.edges, cfg.textures,
-                             cfg.luma, cfg.row_block)
+                             cfg.luma, cfg.row_block,
+                             energy_fn=cfg.energy_function)
         if vertically:
             out = jnp.swapaxes(out, 0, 1)
         return np.asarray(jax.device_get(out))
@@ -155,6 +160,7 @@ class Carver:
                 strip_update=cfg.strip_update,
                 use_pallas=None if cfg.use_pallas else False,
                 delta_x=cfg.delta_x, rigidity=cfg.rigidity,
+                energy_fn=cfg.energy_function,
             )
         else:
             from ..utils.checkpoint import carve_resumable
@@ -177,7 +183,7 @@ class Carver:
             # runs before lqr_carver_resize, src/render.c:370-377)
             energy_np = np.asarray(jax.device_get(_energy_u8_jit(
                 dev_img, cfg.blocksize, cfg.edges, cfg.textures,
-                cfg.luma, cfg.row_block,
+                cfg.luma, cfg.row_block, energy_fn=cfg.energy_function,
             )))
         if transpose:
             out = np.swapaxes(out, 0, 1)

@@ -32,6 +32,16 @@ import jax.numpy as jnp
 from .dct import dct_energy_map, energy_from_bands
 from .dp import cumulative_energy, backtrack, mask_energy, remove_seam
 
+
+def _bands_energy(bands, n: int, edges, textures, energy_fn):
+    """One dispatch point for window energies: the builtin DCT chains or a
+    pluggable EnergyFunction (ops/energy_fn.py — the lqr_carver_set_energy_
+    function analog).  Both the full-image path and the strip updates funnel
+    through here, so strip == full stays bitwise for every energy."""
+    if energy_fn is not None:
+        return energy_fn.bands_fn(bands)
+    return energy_from_bands(bands, n, edges, textures)
+
 __all__ = ["CarveState", "carve_n_seams", "make_state", "reconstruct_removed", "reconstruct_enlarged"]
 
 
@@ -89,7 +99,8 @@ def min_strip_width(blocksize: int, delta_x: int = 1) -> int:
 
 
 def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
-                     edges, textures, delta_x: int = 1) -> jax.Array:
+                     edges, textures, delta_x: int = 1,
+                     energy_fn=None) -> jax.Array:
     """Compacted energy with only the seam strip recomputed — block-aligned.
 
     The old energy is compacted with the same select-shift as the image.  The
@@ -130,8 +141,8 @@ def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
     )(jnp.arange(nb, dtype=jnp.int32) * R, bs)
     # per-output-row vertical bands via static row windows: (nb, R, n, gwb)
     bands = jnp.stack([slabs[:, rr : rr + n, :] for rr in range(R)], axis=1)
-    strip_E = energy_from_bands(
-        bands.reshape(nb * R, n, gwb), n, edges, textures
+    strip_E = _bands_energy(
+        bands.reshape(nb * R, n, gwb), n, edges, textures, energy_fn
     ).astype(jnp.float32).reshape(nb, R, swb)
 
     # write each block strip back at its block start (full-slice scatter)
@@ -151,7 +162,8 @@ def _strip_block_dims(blocksize: int, delta_x: int = 1):
 
 
 def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
-                            edges, textures, delta_x: int = 1) -> jax.Array:
+                            edges, textures, delta_x: int = 1,
+                            energy_fn=None) -> jax.Array:
     """Same contract and bitwise-identical values as `_recompute_strip`, with
     the slow XLA gather/scatter replaced by the Pallas window kernels
     (pallas/strip_kernel.py).  The energy VALUES still come from the same
@@ -186,8 +198,8 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
     bands = jnp.stack(
         [slab256[:, rr : rr + n, :gwb] for rr in range(R)], axis=1
     )
-    strip_E = energy_from_bands(
-        bands.reshape(nb * R, n, gwb), n, edges, textures
+    strip_E = _bands_energy(
+        bands.reshape(nb * R, n, gwb), n, edges, textures, energy_fn
     ).astype(jnp.float32).reshape(nb, R, swb)
     strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, 256 - swb)))
     return scatter_strips(E_shift, strips, bs, swb)
@@ -203,7 +215,8 @@ def strip_pallas_ok(H: int, W: int, blocksize: int, delta_x: int = 1) -> bool:
 
 def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
               strip_update: bool, use_pallas: bool = False,
-              delta_x: int = 1, rigidity: float = 0.0) -> CarveState:
+              delta_x: int = 1, rigidity: float = 0.0,
+              energy_fn=None) -> CarveState:
     H, W = state.luma.shape
     if use_pallas:
         from ..pallas.dp_kernel import find_seam_pallas
@@ -223,16 +236,18 @@ def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
     luma = _edge_fill(remove_seam(state.luma, seam), new_width)
     origcol = remove_seam(state.origcol, seam)
 
+    n_eff = energy_fn.n if energy_fn is not None else blocksize
     if strip_update:
         mid = state._replace(luma=luma, width=new_width)
-        if use_pallas and strip_pallas_ok(H, W, blocksize, delta_x):
-            energy = _recompute_strip_pallas(mid, seam, blocksize, edges,
-                                             textures, delta_x)
+        if use_pallas and strip_pallas_ok(H, W, n_eff, delta_x):
+            energy = _recompute_strip_pallas(mid, seam, n_eff, edges,
+                                             textures, delta_x, energy_fn)
         else:
-            energy = _recompute_strip(mid, seam, blocksize, edges, textures,
-                                      delta_x)
+            energy = _recompute_strip(mid, seam, n_eff, edges, textures,
+                                      delta_x, energy_fn)
     else:
-        energy = full_energy_map(luma, blocksize, edges, textures)
+        energy = full_energy_map(luma, blocksize, edges, textures,
+                                 energy_fn=energy_fn)
 
     return CarveState(luma, origcol, vmap, new_width, energy)
 
@@ -249,12 +264,16 @@ def resolve_use_pallas(use_pallas, H: int, W: int) -> bool:
 
 
 def full_energy_map(luma: jax.Array, blocksize: int, edges, textures,
-                    center: str = "carve") -> jax.Array:
+                    center: str = "carve", energy_fn=None) -> jax.Array:
     """Full-image energy, f32 — the fused Pallas kernel on TPU (bit-identical
-    to the XLA chains there, verified on hardware), XLA elsewhere/f64."""
+    to the XLA chains there, verified on hardware), XLA elsewhere/f64.
+    With a pluggable `energy_fn` (ops/energy_fn.py) the function's own
+    vectorized path runs instead of the DCT kernels."""
     from ..pallas.energy_kernel import dct_energy_pallas, energy_pallas_supported
 
     H, W = luma.shape
+    if energy_fn is not None:
+        return energy_fn.energy_map(luma, center).astype(jnp.float32)
     if (
         jax.default_backend() == "tpu"
         and luma.dtype == jnp.float32
@@ -269,7 +288,7 @@ def full_energy_map(luma: jax.Array, blocksize: int, edges, textures,
 @functools.partial(
     jax.jit,
     static_argnames=("n_seams", "blocksize", "strip_update", "use_pallas",
-                     "delta_x", "rigidity"),
+                     "delta_x", "rigidity", "energy_fn"),
 )
 def carve_n_seams(
     luma: jax.Array,
@@ -281,6 +300,7 @@ def carve_n_seams(
     use_pallas: bool | None = None,
     delta_x: int = 1,
     rigidity: float = 0.0,
+    energy_fn=None,
 ) -> CarveState:
     """Remove `n_seams` vertical seams from a (H, W) luma plane.
 
@@ -291,7 +311,10 @@ def carve_n_seams(
     is bitwise-identical to the scan path.  `delta_x`/`rigidity` generalize
     liblqr's `lqr_carver_init` parameters (see ops.dp._rigidity_penalties);
     non-default values use the scan DP (the Pallas kernel implements the
-    reference's (1, 0) configuration).
+    reference's (1, 0) configuration).  `energy_fn`: a pluggable
+    ops.energy_fn.EnergyFunction replacing the DCT energy (the
+    lqr_carver_set_energy_function analog); `blocksize`/`edges`/`textures`
+    are ignored when it is set.
     """
     H, W = luma.shape
     if delta_x < 1:
@@ -302,18 +325,19 @@ def carve_n_seams(
     state = make_state(luma)
     # energy is stored as f32 — liblqr's gfloat (src/dct.c:96) — no matter
     # the compute dtype; the DP then matches the oracle's f32 arithmetic
-    E0 = full_energy_map(luma, blocksize, edges, textures)
+    E0 = full_energy_map(luma, blocksize, edges, textures, energy_fn=energy_fn)
     state = state._replace(energy=E0)
 
     # strips wider than the buffer would scatter out of bounds: fall back to
     # full recompute for tiny images (static decision; W is a trace constant)
-    if luma.shape[1] < min_strip_width(blocksize, delta_x):
+    n_eff = energy_fn.n if energy_fn is not None else blocksize
+    if luma.shape[1] < min_strip_width(n_eff, delta_x):
         strip_update = False
 
     def body(i, s):
         return _one_seam(s, (i + 1).astype(jnp.int32), blocksize, edges,
                          textures, strip_update, use_pallas, delta_x,
-                         rigidity)
+                         rigidity, energy_fn)
 
     return jax.lax.fori_loop(0, n_seams, body, state)
 

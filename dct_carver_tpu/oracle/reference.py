@@ -214,6 +214,28 @@ def energy_map(
     return out
 
 
+def gradient_energy_map(luma: np.ndarray, kind: str) -> np.ndarray:
+    """Scalar spec for the builtin gradient energies (ops/energy_fn.py) —
+    liblqr-style non-custom energies: forward differences with the clamped
+    border (dx = 0 at the last column, dy = 0 at the last row), computed in
+    f32 like the carver's stored energy (gfloat, src/dct.c:96)."""
+    x = np.asarray(luma, dtype=np.float32)
+    H, W = x.shape
+    right = x[:, np.minimum(np.arange(W) + 1, W - 1)]
+    down = x[np.minimum(np.arange(H) + 1, H - 1), :]
+    dx = right - x
+    dy = down - x
+    if kind == "grad_xabs":
+        return np.abs(dx)
+    if kind == "grad_sumabs":
+        return (np.abs(dx) + np.abs(dy)) * np.float32(0.5)
+    if kind == "grad_norm":
+        return np.sqrt(dx * dx + dy * dy)
+    if kind == "null":
+        return np.zeros_like(x)
+    raise ValueError(f"unknown gradient energy {kind!r}")
+
+
 def rigidity_penalty(dx: int, delta_x: int, rigidity: float) -> float:
     """This framework's spec of the liblqr `lqr_carver_init(delta_x,
     rigidity)` generalization: a seam may step up to `delta_x` columns per

@@ -33,7 +33,8 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_seams", "blocksize", "strip_update", "luma_mode"),
+    static_argnames=("n_seams", "blocksize", "strip_update", "luma_mode",
+                     "energy_fn"),
 )
 def batch_carve_states(
     images: jax.Array,
@@ -43,6 +44,7 @@ def batch_carve_states(
     textures,
     strip_update: bool = True,
     luma_mode: str = "bt709",
+    energy_fn=None,
 ):
     """vmap'ed carve over a batch of identically-shaped images (B,H,W[,C]).
 
@@ -52,7 +54,8 @@ def batch_carve_states(
     lumas = jax.vmap(lambda im: to_luma(im, luma_mode))(images)
     return jax.vmap(
         lambda l: carve_ops.carve_n_seams(
-            l, n_seams, blocksize, edges, textures, strip_update=strip_update
+            l, n_seams, blocksize, edges, textures, strip_update=strip_update,
+            energy_fn=energy_fn,
         )
     )(lumas)
 
@@ -67,6 +70,7 @@ def carve_batch(
     mesh: Mesh | None = None,
     strip_update: bool = True,
     reconstruct: bool = True,
+    energy=None,
 ):
     """Remove `n_seams` vertical seams from every image in a batch, data-parallel
     over `mesh` (config 4 of BASELINE.md: 1024 × 1-Mpix images, 128 seams).
@@ -88,8 +92,11 @@ def carve_batch(
     sharding = NamedSharding(mesh, P(axis))
     images = jax.device_put(images, sharding)
 
+    from ..ops.energy_fn import resolve_energy
+
     states = batch_carve_states(
-        images, n_seams, blocksize, edges, textures, strip_update
+        images, n_seams, blocksize, edges, textures, strip_update,
+        energy_fn=resolve_energy(energy),
     )
     if not reconstruct:
         return None, states.vmap[:B]

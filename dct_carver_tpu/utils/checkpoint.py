@@ -27,13 +27,29 @@ __all__ = ["save_state", "load_state", "carve_resumable"]
 _FORMAT_VERSION = 1
 
 
+def _config_to_jsonable(config: CarverConfig) -> dict:
+    from ..ops.energy_fn import EnergyFunction, BUILTIN_ENERGIES
+
+    d = dataclasses.asdict(config)
+    e = d.get("energy")
+    if isinstance(e, EnergyFunction):
+        if BUILTIN_ENERGIES.get(e.name) is not e:
+            raise ValueError(
+                "custom EnergyFunction objects cannot be checkpointed; "
+                "pass the builtin name in config.energy, or re-supply the "
+                "function on resume"
+            )
+        d["energy"] = e.name
+    return d
+
+
 def save_state(path: str, state: CarveState, config: CarverConfig,
                seams_done: int, n_seams_total: int) -> None:
     meta = {
         "version": _FORMAT_VERSION,
         "seams_done": int(seams_done),
         "n_seams_total": int(n_seams_total),
-        "config": dataclasses.asdict(config),
+        "config": _config_to_jsonable(config),
     }
     np.savez_compressed(
         path,
@@ -92,18 +108,21 @@ def carve_resumable(
                 f"checkpoint was for {total} seams, requested {n_seams}"
             )
         config = cfg_loaded
-    else:
+    energy_fn = config.energy_function
+    if resume_from is None:
         state = make_state(jnp.asarray(luma))
-        e0 = jax.jit(full_energy_map, static_argnames=("blocksize",))(
-            state.luma, config.blocksize, config.edges, config.textures
-        )
+        e0 = jax.jit(
+            full_energy_map, static_argnames=("blocksize", "energy_fn")
+        )(state.luma, config.blocksize, config.edges, config.textures,
+          energy_fn=energy_fn)
         state = state._replace(energy=e0)
         done = 0
 
     chunk = checkpoint_every if checkpoint_every > 0 else n_seams
     # same tiny-image guard as carve_n_seams: strips must fit in the buffer
+    n_eff = energy_fn.n if energy_fn is not None else config.blocksize
     strip = config.strip_update and (
-        state.luma.shape[1] >= min_strip_width(config.blocksize, config.delta_x)
+        state.luma.shape[1] >= min_strip_width(n_eff, config.delta_x)
     )
     use_pallas = resolve_use_pallas(
         None if config.use_pallas else False, *state.luma.shape
@@ -115,7 +134,7 @@ def carve_resumable(
             return _one_seam(
                 s, (start + i + 1).astype(jnp.int32), config.blocksize,
                 config.edges, config.textures, strip, use_pallas,
-                config.delta_x, config.rigidity,
+                config.delta_x, config.rigidity, energy_fn,
             )
         return jax.lax.fori_loop(0, count, body, state)
 

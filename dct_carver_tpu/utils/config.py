@@ -29,6 +29,12 @@ class CarverConfig:
     delta_x: int = 1            # max seam step per row (>= 1)
     rigidity: float = 0.0       # step penalty: rigidity * |dx| / delta_x
 
+    # --- lqr_carver_set_energy_function analog (src/render.c:314-315) ---
+    # None/'dct' = the reference's DCT energy (blocksize/edges/textures);
+    # a builtin name ('grad_xabs'/'grad_sumabs'/'grad_norm'/'null') or an
+    # ops.energy_fn.EnergyFunction plugs a different energy into the carver.
+    energy: object = None
+
     # --- framework knobs (no effect on carve results) ---
     luma: str = "bt709"         # "bt709" (carve path) | "bt601_studio" (preview)
     use_pallas: bool = True     # fused TPU kernels where available
@@ -45,8 +51,18 @@ class CarverConfig:
             raise ValueError(f"delta_x must be >= 1, got {self.delta_x}")
         if self.rigidity < 0:
             raise ValueError(f"rigidity must be >= 0, got {self.rigidity}")
+        self.energy_function  # validates the energy spec eagerly
 
     @property
     def radius(self) -> int:
-        """liblqr energy-function radius = blocksize/2 (src/render.c:314-315)."""
-        return self.blocksize // 2
+        """liblqr energy-function radius = blocksize/2 (src/render.c:314-315),
+        or the plugged energy function's own radius."""
+        fn = self.energy_function
+        return fn.radius if fn is not None else self.blocksize // 2
+
+    @property
+    def energy_function(self):
+        """The resolved EnergyFunction, or None for the default DCT energy."""
+        from ..ops.energy_fn import resolve_energy
+
+        return resolve_energy(self.energy)
