@@ -135,6 +135,15 @@ def main(argv=None) -> int:
                    help="seams to REMOVE from each image (positive count)")
     _add_knobs(b)
 
+    u = sub.add_parser(
+        "ui",
+        help="interactive browser UI: live energy preview, knob dialog and "
+             "realtime slide-many resize (the GTK dialogs of "
+             "src/interface.c, served over HTTP)")
+    u.add_argument("input")
+    u.add_argument("--host", default="127.0.0.1")
+    u.add_argument("--port", type=int, default=8707)
+
     args = ap.parse_args(argv)
 
     from .utils.cache import enable_compilation_cache
@@ -147,6 +156,12 @@ def main(argv=None) -> int:
         return _run_batch(args)
 
     img = load_image(args.input)
+
+    if args.cmd == "ui":
+        from .ui import serve
+
+        serve(img, host=args.host, port=args.port)
+        return 0
 
     if args.cmd == "interactive":
         from .models.retarget import InteractiveRetargeter
