@@ -31,6 +31,8 @@ import jax.numpy as jnp
 
 from .dct import dct_energy_map, energy_from_bands
 from .dp import cumulative_energy, backtrack, mask_energy, remove_seam
+from ..pallas.apply_kernel import (apply_pallas_supported, apply_seam_pallas,
+                                   new_edge_value)
 
 
 def _bands_energy(bands, n: int, edges, textures, energy_fn):
@@ -87,20 +89,36 @@ def _strip_bounds(seam: jax.Array, blocksize: int, W: int, delta_x: int = 1):
     return start, strip_w
 
 
-STRIP_ROW_BLOCK = 8  # rows per block-aligned strip (static)
+STRIP_ROW_BLOCK = 8  # default rows per block-aligned strip (static)
 
 
-def min_strip_width(blocksize: int, delta_x: int = 1) -> int:
+def strip_row_block(H: int, blocksize: int, delta_x: int = 1,
+                    W: int | None = None) -> int:
+    """Rows per block-shared strip window.  Bigger blocks mean fewer
+    gather/scatter grid steps (whose per-step DMA-descriptor setup, not
+    bandwidth, dominates the strip update) at the cost of a wider shared
+    window (the seam drifts <= delta_x cols/row, so the window widens by
+    delta_x*(R-1)).  Pick the largest R that divides H (the Pallas scatter
+    writes (R, .) blocks) while the tap window still fits the 128-lane
+    validity bound of the gathered slab and the strip fits the image width."""
+    for R in (64, 56, 48, 40, 32, 24, 16, 8):
+        if (H % R == 0
+                and _strip_block_dims(blocksize, delta_x, R)[1] <= 128
+                and (W is None or min_strip_width(blocksize, delta_x, R) <= W)):
+            return R
+    return STRIP_ROW_BLOCK
+
+
+def min_strip_width(blocksize: int, delta_x: int = 1,
+                    R: int = STRIP_ROW_BLOCK) -> int:
     """Smallest image width on which the block-aligned strip update fits."""
-    half = (blocksize // 2) * (1 + delta_x) + 1
-    strip_w = 2 * half + 2
-    swb = strip_w + delta_x * (STRIP_ROW_BLOCK - 1)
+    swb, _ = _strip_block_dims(blocksize, delta_x, R)
     return swb + max(blocksize, 1)
 
 
 def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
                      edges, textures, delta_x: int = 1,
-                     energy_fn=None) -> jax.Array:
+                     energy_fn=None, e_shift=None) -> jax.Array:
     """Compacted energy with only the seam strip recomputed — block-aligned.
 
     The old energy is compacted with the same select-shift as the image.  The
@@ -120,13 +138,13 @@ def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
     H, W = state.luma.shape
     n = blocksize
     r = n // 2
-    R = STRIP_ROW_BLOCK
-    E_shift = remove_seam(state.energy, seam)
+    R = strip_row_block(H, n, delta_x, W)
+    E_shift = remove_seam(state.energy, seam) if e_shift is None else e_shift
     start, strip_w = _strip_bounds(seam, n, W, delta_x)
 
     nb = -(-H // R)
     pad_h = nb * R - H
-    swb = strip_w + delta_x * (R - 1)  # block strip width (static)
+    swb, _ = _strip_block_dims(n, delta_x, R)  # block strip width (static)
     gwb = swb + n - 1              # + window taps
     # padded luma: rows r-1 top / r+pad_h bottom, cols r-1 left / r right —
     # edge replication == the full path's index clamping
@@ -153,17 +171,18 @@ def _recompute_strip(state: CarveState, seam: jax.Array, blocksize: int,
     return out.reshape(nb * R, W)[:H]
 
 
-def _strip_block_dims(blocksize: int, delta_x: int = 1):
+def _strip_block_dims(blocksize: int, delta_x: int = 1,
+                      R: int = STRIP_ROW_BLOCK):
     """(swb, gwb): static widths of the block-shared strip and its tap window."""
     half = (blocksize // 2) * (1 + delta_x) + 1
     strip_w = 2 * half + 2
-    swb = strip_w + delta_x * (STRIP_ROW_BLOCK - 1)
+    swb = strip_w + delta_x * (R - 1)
     return swb, swb + blocksize - 1
 
 
 def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
                             edges, textures, delta_x: int = 1,
-                            energy_fn=None) -> jax.Array:
+                            energy_fn=None, e_shift=None) -> jax.Array:
     """Same contract and bitwise-identical values as `_recompute_strip`, with
     the slow XLA gather/scatter replaced by the Pallas window kernels
     (pallas/strip_kernel.py).  The energy VALUES still come from the same
@@ -177,11 +196,11 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
     H, W = state.luma.shape
     n = blocksize
     r = n // 2
-    R = STRIP_ROW_BLOCK
-    E_shift = remove_seam(state.energy, seam)
+    R = strip_row_block(H, n, delta_x, W)
+    E_shift = remove_seam(state.energy, seam) if e_shift is None else e_shift
     start, _ = _strip_bounds(seam, n, W, delta_x)
     nb = H // R
-    swb, gwb = _strip_block_dims(n, delta_x)
+    swb, gwb = _strip_block_dims(n, delta_x, R)
     bs = jnp.clip(jnp.min(start.reshape(nb, R), axis=1),
                   0, max(W - swb, 0)).astype(jnp.int32)
 
@@ -194,7 +213,7 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
     lp = jnp.pad(state.luma, ((r - 1, pad_bot), (r - 1, Wl - W - (r - 1))),
                  mode="edge")
 
-    slab256 = gather_slabs(lp, bs, slab_rows)      # (nb, slab_rows, 256)
+    slab256 = gather_slabs(lp, bs, slab_rows, row_block=R)  # (nb, slab_rows, 256)
     bands = jnp.stack(
         [slab256[:, rr : rr + n, :gwb] for rr in range(R)], axis=1
     )
@@ -202,15 +221,16 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
         bands.reshape(nb * R, n, gwb), n, edges, textures, energy_fn
     ).astype(jnp.float32).reshape(nb, R, swb)
     strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, 256 - swb)))
-    return scatter_strips(E_shift, strips, bs, swb)
+    return scatter_strips(E_shift, strips, bs, swb, row_block=R)
 
 
 def strip_pallas_ok(H: int, W: int, blocksize: int, delta_x: int = 1) -> bool:
     """Static gate for the Pallas strip path (window fits one 256-lane tile)."""
     from ..pallas.strip_kernel import strip_pallas_supported
 
-    _, gwb = _strip_block_dims(blocksize, delta_x)
-    return strip_pallas_supported(H, W) and gwb <= 128
+    R = strip_row_block(H, blocksize, delta_x, W)
+    _, gwb = _strip_block_dims(blocksize, delta_x, R)
+    return strip_pallas_supported(H, W, R) and gwb <= 128
 
 
 def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
@@ -233,18 +253,28 @@ def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
     vmap = state.vmap.at[rows, orig].set(k)
 
     new_width = state.width - 1
-    luma = _edge_fill(remove_seam(state.luma, seam), new_width)
-    origcol = remove_seam(state.origcol, seam)
+    e_shift = None
+    if (use_pallas and apply_pallas_supported(H, W)
+            and state.luma.dtype == jnp.float32):
+        # one fused pass compacts all three buffers + edge-fills the luma
+        edge_new = new_edge_value(state.luma, seam, state.width)
+        luma, origcol, e_shift = apply_seam_pallas(
+            state.luma, state.origcol, state.energy, seam, edge_new,
+            state.width)
+    else:
+        luma = _edge_fill(remove_seam(state.luma, seam), new_width)
+        origcol = remove_seam(state.origcol, seam)
 
     n_eff = energy_fn.n if energy_fn is not None else blocksize
     if strip_update:
         mid = state._replace(luma=luma, width=new_width)
         if use_pallas and strip_pallas_ok(H, W, n_eff, delta_x):
             energy = _recompute_strip_pallas(mid, seam, n_eff, edges,
-                                             textures, delta_x, energy_fn)
+                                             textures, delta_x, energy_fn,
+                                             e_shift=e_shift)
         else:
             energy = _recompute_strip(mid, seam, n_eff, edges, textures,
-                                      delta_x, energy_fn)
+                                      delta_x, energy_fn, e_shift=e_shift)
     else:
         energy = full_energy_map(luma, blocksize, edges, textures,
                                  energy_fn=energy_fn)
@@ -331,7 +361,8 @@ def carve_n_seams(
     # strips wider than the buffer would scatter out of bounds: fall back to
     # full recompute for tiny images (static decision; W is a trace constant)
     n_eff = energy_fn.n if energy_fn is not None else blocksize
-    if luma.shape[1] < min_strip_width(n_eff, delta_x):
+    if luma.shape[1] < min_strip_width(
+            n_eff, delta_x, strip_row_block(H, n_eff, delta_x, W)):
         strip_update = False
 
     def body(i, s):

@@ -1,0 +1,110 @@
+"""Fused seam-application kernel: compact all carve buffers in ONE pass.
+
+After a seam is found, the carve must (a) compact the luma plane, the
+original-column map and the energy map around the seam (column j of the
+result is buf[:, j] for j < seam[row] and buf[:, j+1] after), and (b)
+edge-fill the luma dead region (columns >= the new logical width) with the
+new logical edge value so window clamping keeps matching the reference's
+border behavior (/root/reference/src/render.c:146-151).
+
+As separate XLA ops this is 3 roll+select passes plus an edge-fill pass —
+each a full (H, W) read+write.  This kernel does all of it in one grid sweep
+over 8-row blocks: every buffer is read once and written once (~50 MB/seam
+at 1080p, the traffic floor for a compacting representation), with the
+per-row seam columns broadcast from an (R, 1) block and the shift done as a
+static lane roll + select.
+
+Values are bitwise-identical to ops/dp.remove_seam + ops/carve._edge_fill:
+same select, same roll, and the dead-region fill value is computed by the
+caller with the same take-from-shifted rule (tests/test_apply_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dp_kernel import _interpret_default, pallas_supported
+
+__all__ = ["apply_seam_pallas", "apply_pallas_supported", "new_edge_value"]
+
+ROW_BLOCK = 8
+
+
+def apply_pallas_supported(H: int, W: int) -> bool:
+    return pallas_supported(H, W)
+
+
+def new_edge_value(luma: jax.Array, seam: jax.Array,
+                   width: jax.Array) -> jax.Array:
+    """(H, 1) value the dead region is filled with after removing `seam`:
+    the compacted row's element at the new logical edge (new_width - 1),
+    i.e. luma[:, width-2] when the seam removes the edge column itself,
+    else luma[:, width-1] — exactly what _edge_fill reads from the shifted
+    array.  One tiny XLA gather; the heavy lifting stays in the kernel."""
+    H = luma.shape[0]
+    col = jnp.where(seam[:, None] == width - 1, width - 2, width - 1)
+    return jnp.take_along_axis(luma, jnp.broadcast_to(col, (H, 1)), axis=1)
+
+
+def _apply_kernel(width_ref, seam_ref, edge_ref, luma_ref, oc_ref, e_ref,
+                  luma_out, oc_out, e_out):
+    R, W = luma_ref.shape
+    colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    new_width = width_ref[0] - 1
+    seam_blk = seam_ref[:, :]              # (R, 1) int32
+    keep = colids < seam_blk               # (R, W) per-row compaction mask
+
+    def compact(ref):
+        x = ref[:, :]
+        return jnp.where(keep, x, pltpu.roll(x, W - 1, axis=1))
+
+    luma = compact(luma_ref)
+    luma_out[:, :] = jnp.where(colids >= new_width, edge_ref[:, :], luma)
+    oc_out[:, :] = compact(oc_ref)
+    e_out[:, :] = compact(e_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_seam_pallas(luma: jax.Array, origcol: jax.Array, energy: jax.Array,
+                      seam: jax.Array, edge_new: jax.Array, width: jax.Array,
+                      *, interpret: bool | None = None):
+    """Compact (luma, origcol, energy) around `seam` in one fused pass.
+
+    luma/energy (H, W) f32, origcol (H, W) i32, seam (H,) i32,
+    edge_new (H, 1) f32 from `new_edge_value`, width () i32 (logical width
+    BEFORE removal).  Returns (luma', origcol', energy') with luma' edge-
+    filled at columns >= width-1.  H % 8 == 0, W % 128 == 0 required."""
+    H, W = luma.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    grid = (H // ROW_BLOCK,)
+    blk = lambda b: (b, 0)
+    return pl.pallas_call(
+        _apply_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROW_BLOCK, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), luma.dtype),
+            jax.ShapeDtypeStruct((H, W), jnp.int32),
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(width, jnp.int32).reshape(1), seam.reshape(H, 1),
+      edge_new, luma, origcol, energy)

@@ -185,28 +185,43 @@ def fused_seam_supported(H: int, W: int) -> bool:
     return pallas_supported(H, W) and H * W <= MAX_FUSED_PARENT_BYTES
 
 
-def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry, p_blk,
-                       s_blk):
+def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry):
     """One kernel per seam: forward DP into VMEM-resident parents; on the
     last grid step, masked leftmost argmin of the frontier + full backtrack.
 
     Decisions are bitwise-identical to dp_forward + XLA argmin + dp_backtrack
-    (same op order, same leftmost-min tie rules).  Single-row dynamic-offset
-    VMEM stores are not lowerable, so block tiles are staged in (R, ·)
-    scratch with static row indices and moved at block-aligned offsets."""
+    (same op order, same leftmost-min tie rules).  Two latency optimizations
+    (values unchanged):
+      * the forward frontier is register-resident across the R unrolled rows
+        of a block — carry VMEM round-trips happen once per block, not per
+        row (the row recurrence is latency-bound, not bandwidth-bound);
+      * the backtrack walks a one-hot VECTOR through a 256-lane window
+        around the seam instead of scalar-reducing a full-W one-hot per row
+        (the seam drifts <= 1 column/row, so an R-row block stays inside the
+        window; per-row work is then ~2 vregs with no cross-lane reduce)."""
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     R, W = e_ref.shape
-    H = parents.shape[0]
     colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     inf = jnp.float32(jnp.inf)
     width = width_ref[0]
     lo = width_ref[1]
     in_win = (colids >= lo) & (colids < lo + width)
 
+    # Zero-init instead of special-casing row 0: m0 = e0 + min(0, 0, 0) =
+    # e0 + 0.0 — value-identical to e0 (only the sign of exact zeros can
+    # differ, which no comparison downstream distinguishes), and row 0's
+    # parent is never consulted by the backtrack.  This removes two selects
+    # from every row's critical chain.
+    @pl.when(b == 0)
+    def _():
+        carry[:] = jnp.zeros((1, W), jnp.float32)
+
+    eblk = e_ref[:, :]  # one block load; rows sliced statically below
+    prev = carry[:]
+    pb = []
     for r in range(R):  # static rows within the block
-        e_row = jnp.where(in_win, e_ref[pl.ds(r, 1), :], inf)
-        prev = carry[:]
+        e_row = jnp.where(in_win, eblk[r : r + 1, :], inf)
         left = pltpu.roll(prev, 1, axis=1)
         right = pltpu.roll(prev, W - 1, axis=1)  # == shift -1
         left = jnp.where(colids == 0, inf, left)
@@ -217,13 +232,10 @@ def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry, p_blk,
             jnp.where(left <= right, -1, 1),
             jnp.where(prev <= right, 0, 1),
         ).astype(jnp.int32)
-        is_first = jnp.logical_and(b == 0, r == 0)
-        m = jnp.where(is_first, e_row, m)
-        p = jnp.where(is_first, 0, p)
-        carry[:] = m
-        p_blk[pl.ds(r, 1), :] = p.astype(p_blk.dtype)
-
-    parents[pl.ds(pl.multiple_of(b * R, 8), R), :] = p_blk[:, :]
+        prev = m
+        pb.append(p.astype(jnp.int8))
+    carry[:] = prev
+    parents[pl.ds(pl.multiple_of(b * R, 8), R), :] = jnp.concatenate(pb, axis=0)
 
     @pl.when(b == nb - 1)
     def _backtrack():
@@ -232,18 +244,45 @@ def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry, p_blk,
         big = jnp.int32(jnp.iinfo(jnp.int32).max)
         j0 = jnp.min(jnp.where(m_last == mn, colids, big))  # leftmost min
 
-        def blk_fn(bbr, j):
-            bb = nb - 1 - bbr  # blocks bottom-up
-            base = pl.multiple_of(bb * R, 8)
-            tile = parents[pl.ds(base, R), :].astype(jnp.int32)  # (R, W)
-            for r in range(R - 1, -1, -1):  # rows bottom-up, static
-                s_blk[pl.ds(r, 1), :] = jnp.full((1, 1), j, jnp.int32)
-                p = jnp.sum(jnp.where(colids == j, tile[r : r + 1, :], 0))
-                j = j + p
-            seam_ref[pl.ds(base, R), :] = s_blk[:, :]
-            return j
+        H = parents.shape[0]
+        # walk in the largest 8-multiple stride that divides H: the
+        # sequential fori has per-step overhead, so fewer/taller blocks win
+        # (the 256-lane window still bounds the drift: 127 + 2*BR <= 255)
+        BR = next(s for s in (64, 56, 48, 40, 32, 24, 16, 8) if H % s == 0)
+        nbb = H // BR
+        narrow = W >= 256
+        CW = 256 if narrow else W
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
 
-        jax.lax.fori_loop(0, nb, blk_fn, j0)
+        def blk_fn(bbr, j):
+            bb = nbb - 1 - bbr  # blocks bottom-up
+            base = pl.multiple_of(bb * BR, 8)
+            if narrow:
+                # within the block j spans [j-BR, j+BR]; cb <= j-BR (when not
+                # clipped) and cb >= j-BR-127, so j-cb stays in [0, 128+2BR)
+                # and the one-hot never wraps at the window edges
+                cb = jnp.clip(((j - BR) // 128) * 128, 0, W - 256)
+                cb = pl.multiple_of(cb, 128)
+                tile = parents[pl.ds(base, BR), pl.ds(cb, 256)].astype(jnp.int32)
+            else:
+                cb = jnp.int32(0)
+                tile = parents[pl.ds(base, BR), :].astype(jnp.int32)  # (BR, W)
+            o = (cols == j - cb).astype(jnp.int32)
+            ohs = []
+            for r in range(BR - 1, -1, -1):  # rows bottom-up, static
+                ohs.append(o)
+                pr = tile[r : r + 1, :]
+                o = (pltpu.roll(o * (pr == -1).astype(jnp.int32), CW - 1, axis=1)
+                     + o * (pr == 0).astype(jnp.int32)
+                     + pltpu.roll(o * (pr == 1).astype(jnp.int32), 1, axis=1))
+            oh = jnp.concatenate(ohs[::-1], axis=0)  # (BR, CW) one-hot rows
+            js = jnp.max(oh * jnp.broadcast_to(cols, (BR, CW)), axis=1,
+                         keepdims=True)
+            seam_ref[pl.ds(base, BR), :] = js + cb
+            # entry column for the block above = position of the walked o
+            return jnp.max(o * (cols + cb))
+
+        jax.lax.fori_loop(0, nbb, blk_fn, j0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -267,8 +306,6 @@ def _fused_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
         scratch_shapes=[
             pltpu.VMEM((H, W), jnp.int8),
             pltpu.VMEM((1, W), jnp.float32),
-            pltpu.VMEM((ROW_BLOCK, W), jnp.int8),
-            pltpu.VMEM((ROW_BLOCK, 1), jnp.int32),
         ],
         interpret=interpret,
     )(wl, E)

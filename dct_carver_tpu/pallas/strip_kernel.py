@@ -42,9 +42,9 @@ WIN = 256          # aligned lane window (2 lane groups)
 ROW_BLOCK = 8      # must match ops.carve.STRIP_ROW_BLOCK
 
 
-def strip_pallas_supported(H: int, W: int) -> bool:
+def strip_pallas_supported(H: int, W: int, row_block: int = ROW_BLOCK) -> bool:
     """Shapes on which the Pallas gather/scatter strip path applies."""
-    return H % ROW_BLOCK == 0 and W % LANE == 0 and W >= WIN
+    return H % row_block == 0 and W % LANE == 0 and W >= WIN
 
 
 def _rotl(x, rem):
@@ -61,31 +61,53 @@ def _rotl(x, rem):
 
 # ------------------------------------------------------------------ gather --
 
-def _make_gather_kernel(slab_rows: int):
+def _make_gather_kernel(slab_rows: int, row_block: int):
     def kernel(bs_ref, lp_ref, out_ref, slab, sem):
         """Per block b: DMA the (slab_rows, WIN) window of the padded luma at
         the 128-aligned lane offset astart, rotate left so lane t holds
-        padded column bs+t, and emit it."""
+        padded column bs+t, and emit it.
+
+        Double-buffered: block b+1's window DMA is started before waiting on
+        block b's, so the per-block DMA latency is hidden behind the previous
+        block's rotate+store instead of serializing the grid (~0.7 us/block
+        -> ~0.2 us/block at 1080p)."""
         b = pl.program_id(0)
+        nb = pl.num_programs(0)
         Wl = lp_ref.shape[1]
+
+        def dma(i, slot):
+            bsi = bs_ref[i]
+            astart = jnp.minimum((bsi // LANE) * LANE, Wl - WIN)
+            astart = pl.multiple_of(astart, LANE)
+            return pltpu.make_async_copy(
+                lp_ref.at[pl.ds(i * row_block, slab_rows),
+                          pl.ds(astart, WIN)],
+                slab.at[slot], sem.at[slot],
+            )
+
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            dma(b + 1, jax.lax.rem(b + 1, 2)).start()
+
+        dma(b, slot).wait()
+
         bs = bs_ref[b]
         astart = jnp.minimum((bs // LANE) * LANE, Wl - WIN)
-        astart = pl.multiple_of(astart, LANE)
-
-        dma = pltpu.make_async_copy(
-            lp_ref.at[pl.ds(b * ROW_BLOCK, slab_rows), pl.ds(astart, WIN)],
-            slab, sem,
-        )
-        dma.start()
-        dma.wait()
-
-        out_ref[:, :] = _rotl(slab[:, :], bs - astart)
+        out_ref[:, :] = _rotl(slab[slot], bs - astart)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("slab_rows", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("slab_rows", "row_block", "interpret"))
 def gather_slabs(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
+                 row_block: int = ROW_BLOCK,
                  interpret: bool | None = None) -> jax.Array:
     """lp (Hp, Wl) f32 row/col-padded luma (Wl % 128 == 0, Wl >= 256, rows
     padded so every [b*8, b*8+slab_rows) slice is in bounds), bs (nb,) i32
@@ -103,7 +125,7 @@ def gather_slabs(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
     if interpret is None:
         interpret = _interpret_default()
     out = pl.pallas_call(
-        _make_gather_kernel(slab_rows),
+        _make_gather_kernel(slab_rows, row_block),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -113,8 +135,8 @@ def gather_slabs(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * slab_rows, WIN), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((slab_rows, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, slab_rows, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(bs.astype(jnp.int32), lp)
@@ -123,62 +145,88 @@ def gather_slabs(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
 
 # ----------------------------------------------------------------- scatter --
 
-def _make_scatter_kernel(swb: int):
+def _make_scatter_kernel(swb: int, R: int):
     def kernel(bs_ref, strip_ref, e_in, e_out, win, sem_in, sem_out):
         """Per block b: read-modify-write the 256-lane aligned window of the
         block's 8 energy rows in place (e_in aliased to e_out), placing strip
-        lanes [0, swb) at columns [bs, bs+swb)."""
+        lanes [0, swb) at columns [bs, bs+swb).
+
+        Double-buffered RMW: window b+1 is prefetched while b is modified,
+        and b's write-back completes while b+1 is processed.  Step order is
+        wait-out(b-1) -> prefetch-in(b+1) -> wait-in(b) -> modify ->
+        start-out(b); blocks touch disjoint rows, so in/out DMAs never
+        overlap the same window."""
         b = pl.program_id(0)
+        nb = pl.num_programs(0)
         W = e_out.shape[1]
+
+        def win_dma(i, slot, outgoing):
+            bsi = bs_ref[i]
+            wstart = jnp.minimum((bsi // LANE) * LANE, W - WIN)
+            wstart = pl.multiple_of(wstart, LANE)
+            ew = e_out.at[pl.ds(i * R, R), pl.ds(wstart, WIN)]
+            if outgoing:
+                return pltpu.make_async_copy(win.at[slot], ew, sem_out.at[slot])
+            return pltpu.make_async_copy(ew, win.at[slot], sem_in.at[slot])
+
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b == 0)
+        def _():
+            win_dma(0, 0, False).start()
+
+        # reclaim the other slot before prefetching into it
+        @pl.when(b >= 1)
+        def _():
+            win_dma(b - 1, jax.lax.rem(b - 1, 2), True).wait()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            win_dma(b + 1, jax.lax.rem(b + 1, 2), False).start()
+
+        win_dma(b, slot, False).wait()
+
         bs = bs_ref[b]
         wstart = jnp.minimum((bs // LANE) * LANE, W - WIN)
-        wstart = pl.multiple_of(wstart, LANE)
         srem = bs - wstart  # in [0, 128)
-
-        dma_in = pltpu.make_async_copy(
-            e_out.at[pl.ds(b * ROW_BLOCK, ROW_BLOCK), pl.ds(wstart, WIN)],
-            win, sem_in,
-        )
-        dma_in.start()
-        dma_in.wait()
 
         # strip lanes [0, swb) -> window lanes [srem, srem+swb)
         rot = _rotl(strip_ref[:, :], (WIN - srem) % WIN)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
         in_strip = (lane >= srem) & (lane < srem + swb)
-        win[:, :] = jnp.where(in_strip, rot, win[:, :])
+        win[slot] = jnp.where(in_strip, rot, win[slot])
 
-        dma_out = pltpu.make_async_copy(
-            win,
-            e_out.at[pl.ds(b * ROW_BLOCK, ROW_BLOCK), pl.ds(wstart, WIN)],
-            sem_out,
-        )
-        dma_out.start()
-        dma_out.wait()
+        win_dma(b, slot, True).start()
+
+        @pl.when(b == nb - 1)
+        def _():
+            win_dma(b, slot, True).wait()
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("swb", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("swb", "row_block", "interpret"))
 def scatter_strips(E: jax.Array, strips: jax.Array, bs: jax.Array, swb: int,
-                   *, interpret: bool | None = None) -> jax.Array:
-    """E (H, W) f32, strips (nb, 8, WIN) f32 (values in lanes [0, swb), rest
-    ignored), bs (nb,) i32 (each in [0, W - swb]) -> E with
-    E[b*8:(b+1)*8, bs[b]:bs[b]+swb] = strips[b, :, :swb].
+                   *, row_block: int = ROW_BLOCK,
+                   interpret: bool | None = None) -> jax.Array:
+    """E (H, W) f32, strips (nb, row_block, WIN) f32 (values in lanes
+    [0, swb), rest ignored), bs (nb,) i32 (each in [0, W - swb]) -> E with
+    E[b*R:(b+1)*R, bs[b]:bs[b]+swb] = strips[b, :, :swb].
 
-    The energy buffer is aliased in place; only the 8x256 windows move.
-    H % 8 == 0, W % 128 == 0, W >= 256 required.
+    The energy buffer is aliased in place; only the (row_block)x256 windows
+    move.  H % row_block == 0, W % 128 == 0, W >= 256 required.
     """
     H, W = E.shape
     nb = int(bs.shape[0])
     if interpret is None:
         interpret = _interpret_default()
     return pl.pallas_call(
-        _make_scatter_kernel(swb),
+        _make_scatter_kernel(swb, row_block),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_BLOCK, WIN), lambda b: (b, 0),
+            pl.BlockSpec((row_block, WIN), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -186,9 +234,9 @@ def scatter_strips(E: jax.Array, strips: jax.Array, bs: jax.Array, swb: int,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         input_output_aliases={2: 0},
         scratch_shapes=[
-            pltpu.VMEM((ROW_BLOCK, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, row_block, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(bs.astype(jnp.int32), strips.reshape(nb * ROW_BLOCK, WIN), E)
+    )(bs.astype(jnp.int32), strips.reshape(nb * row_block, WIN), E)
