@@ -65,7 +65,8 @@ def _run_batch(args) -> int:
     out, _ = carve_batch(
         np.stack(imgs), args.seams,
         blocksize=args.blocksize, edges=args.edges, textures=args.textures,
-        strip_update=not args.no_strip_update,
+        strip_update=not args.no_strip_update, energy=args.energy,
+        luma=args.luma, delta_x=args.delta_x, rigidity=args.rigidity,
     )
     out = np.asarray(out)
     dt = time.perf_counter() - t0

@@ -34,7 +34,7 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("n_seams", "blocksize", "strip_update", "luma_mode",
-                     "energy_fn"),
+                     "energy_fn", "delta_x", "rigidity"),
 )
 def batch_carve_states(
     images: jax.Array,
@@ -45,6 +45,8 @@ def batch_carve_states(
     strip_update: bool = True,
     luma_mode: str = "bt709",
     energy_fn=None,
+    delta_x: int = 1,
+    rigidity: float = 0.0,
 ):
     """vmap'ed carve over a batch of identically-shaped images (B,H,W[,C]).
 
@@ -55,7 +57,7 @@ def batch_carve_states(
     return jax.vmap(
         lambda l: carve_ops.carve_n_seams(
             l, n_seams, blocksize, edges, textures, strip_update=strip_update,
-            energy_fn=energy_fn,
+            energy_fn=energy_fn, delta_x=delta_x, rigidity=rigidity,
         )
     )(lumas)
 
@@ -71,6 +73,9 @@ def carve_batch(
     strip_update: bool = True,
     reconstruct: bool = True,
     energy=None,
+    luma: str = "bt709",
+    delta_x: int = 1,
+    rigidity: float = 0.0,
 ):
     """Remove `n_seams` vertical seams from every image in a batch, data-parallel
     over `mesh` (config 4 of BASELINE.md: 1024 × 1-Mpix images, 128 seams).
@@ -96,7 +101,8 @@ def carve_batch(
 
     states = batch_carve_states(
         images, n_seams, blocksize, edges, textures, strip_update,
-        energy_fn=resolve_energy(energy),
+        luma_mode=luma, energy_fn=resolve_energy(energy),
+        delta_x=delta_x, rigidity=rigidity,
     )
     if not reconstruct:
         return None, states.vmap[:B]

@@ -57,16 +57,33 @@ def barrier(name: str = "startup") -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def process_health() -> dict:
-    """Liveness snapshot: processes seen alive via a global sum."""
+def process_health(timeout: float = 30.0) -> dict:
+    """Timeout-based liveness probe.
+
+    A collective over live processes can only complete or hang, so "alive
+    count" is not observable directly; the observable signal is WHETHER the
+    collective completes within a deadline.  The allgather runs in a worker
+    thread; if it does not finish within `timeout` seconds, some peer is
+    down/wedged and the probe reports unhealthy.  (The orphaned thread is
+    left to the coordination-service timeout — detection is non-destructive.)
+    """
     if not is_distributed():
-        return {"processes": 1, "alive": 1, "healthy": True}
+        return {"processes": 1, "healthy": True, "timed_out": False}
+    import threading
+
     from jax.experimental import multihost_utils
 
-    alive = multihost_utils.process_allgather(np.ones((1,), np.int32))
-    n = int(alive.sum())
+    done = threading.Event()
+
+    def probe():
+        multihost_utils.process_allgather(np.ones((1,), np.int32))
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    ok = done.wait(timeout)
     return {
         "processes": jax.process_count(),
-        "alive": n,
-        "healthy": n == jax.process_count(),
+        "healthy": ok,
+        "timed_out": not ok,
     }

@@ -6,9 +6,9 @@ The reference persists only its 9 settings across invocations
 be split into chunks of seams with a durable snapshot between chunks —
 checkpoint-restart for the seam loop on preemptible TPU jobs.
 
-Format: a single .npz (portable, no orbax dependency needed for arrays this
-small; orbax remains the right choice for sharded multi-host state and is used
-when a mesh is involved — see parallel/).
+Format: a single .npz (portable; arrays this small need no orbax).  Sharded
+state is fetched to host before saving — a carve checkpoint is megabytes, so
+host gather is cheap and keeps one format everywhere.
 """
 
 from __future__ import annotations

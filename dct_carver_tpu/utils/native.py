@@ -15,7 +15,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["native_available", "energy_map_native", "carve_native"]
+__all__ = ["native_available", "energy_map_native", "carve_native",
+           "energy_map_native_f32", "carve_native_f32"]
 
 _LOCK = threading.Lock()
 _LIB = None
@@ -37,9 +38,12 @@ def _load():
             and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
         ):
             os.makedirs(_BUILD_DIR, exist_ok=True)
+            # -ffp-contract=off: the f32-chain mode must not fuse the
+            # mul-add chains into FMAs, or its values diverge from the
+            # exactly-rounded XLA/Pallas chains it is compared against
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SO, _SRC],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", "-o", _SO, _SRC],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_SO)
@@ -55,6 +59,18 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.dc_carve.restype = ctypes.c_int
+        lib.dc_energy_map_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.dc_energy_map_f32.restype = None
+        lib.dc_carve_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.dc_carve_f32.restype = ctypes.c_int
         _LIB = lib
         return lib
 
@@ -96,4 +112,38 @@ def carve_native(luma: np.ndarray, n_seams: int, blocksize: int,
     )
     if rc != 0:
         raise ValueError(f"dc_carve failed with code {rc}")
+    return vmap
+
+
+def energy_map_native_f32(luma: np.ndarray, blocksize: int, edges: float,
+                          textures: float) -> np.ndarray:
+    """f32-CHAIN energy: bit-equal to the JAX production path's
+    `energy_from_bands` at f32 (same multiply-add order, no FMA)."""
+    lib = _load()
+    luma = np.ascontiguousarray(luma, dtype=np.float32)
+    H, W = luma.shape
+    out = np.empty((H, W), np.float32)
+    lib.dc_energy_map_f32(
+        luma.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), H, W,
+        blocksize, edges, textures,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def carve_native_f32(luma: np.ndarray, n_seams: int, blocksize: int,
+                     edges: float, textures: float) -> np.ndarray:
+    """f32-chain carve: the independent seam oracle for the SHIPPING config
+    (f32 energy + f32 DP).  luma (H, W) float32 -> int32 visibility map."""
+    lib = _load()
+    luma = np.ascontiguousarray(luma, dtype=np.float32)
+    H, W = luma.shape
+    vmap = np.empty((H, W), np.int32)
+    rc = lib.dc_carve_f32(
+        luma.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), H, W,
+        blocksize, edges, textures, n_seams,
+        vmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(f"dc_carve_f32 failed with code {rc}")
     return vmap

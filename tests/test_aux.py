@@ -55,6 +55,33 @@ def test_cli_batch(tmp_path, make_image):
         assert load_ppm(str(outd / f"img{i}.ppm")).shape == (16, 21, 3)
 
 
+def test_cli_batch_knobs_change_output(tmp_path, make_image):
+    """Non-default --energy / --luma must reach the batch path (they were
+    silently dropped once — VERDICT r2)."""
+    from dct_carver_tpu.cli import main
+    from dct_carver_tpu.utils.image import save_ppm, load_ppm
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    save_ppm(str(ind / "img.ppm"), make_image(16, 24, c=3))
+
+    outs = {}
+    for tag, extra in {
+        "default": [],
+        "energy": ["--energy", "grad_norm"],
+        "luma": ["--luma", "bt601_studio"],
+        "rigidity": ["--delta-x", "2", "--rigidity", "5.0"],
+    }.items():
+        outd = tmp_path / f"out_{tag}"
+        rc = main(["batch", str(ind), str(outd), "--seams", "4",
+                   "--blocksize", "4"] + extra)
+        assert rc == 0
+        outs[tag] = load_ppm(str(outd / "img.ppm"))
+    for tag in ("energy", "luma", "rigidity"):
+        assert outs[tag].shape == outs["default"].shape
+        assert (outs[tag] != outs["default"]).any(), tag
+
+
 def test_cli_batch_size_mismatch(tmp_path, make_image):
     from dct_carver_tpu.cli import main
     from dct_carver_tpu.utils.image import save_ppm

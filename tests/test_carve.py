@@ -43,7 +43,7 @@ def test_remove_seam_matches(rng):
     np.testing.assert_array_equal(got[:, :29], ref)
 
 
-@pytest.mark.parametrize("blocksize", [4, 8])
+@pytest.mark.parametrize("blocksize", [2, 4, 8, 16])
 def test_carve_seams_parity_gray(blocksize, make_image):
     """Seam-for-seam vmap parity, JAX x64 vs oracle, grayscale."""
     img = make_image(40, 48)
@@ -70,7 +70,7 @@ def test_carve_seams_parity_rgb(make_image):
     np.testing.assert_array_equal(np.asarray(out), ref_out)
 
 
-@pytest.mark.parametrize("blocksize", [4, 8])
+@pytest.mark.parametrize("blocksize", [2, 4, 8, 16])
 def test_strip_update_equals_full(blocksize, make_image):
     """Strip-update energy path must match the full-recompute path exactly."""
     img = make_image(48, 64, c=3)
