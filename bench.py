@@ -3,12 +3,18 @@
 Headline (BASELINE.md): single-seam retargeting throughput in Mpix/s on one
 chip — pixels of image processed per second of seam-carving, i.e.
 (H * W * n_seams) / elapsed.  Target >= 100 Mpix/s per chip → vs_baseline =
-value / 100.  Secondary configs are reported on stderr.
+value / 100.
 
-Run: python bench.py              headline: 1080p RGB, 8x8, 64 seams + extras
+The DEFAULT run also emits, on stderr (one line each, driver-tail friendly):
+  * a per-seam device-time stage budget (DP / apply / strip) at 1080p;
+  * BASELINE.md configs 1-4 (config 4 = vmap-over-Pallas on real Mosaic);
+  * config 5's spatial path (collectives ride a 1-device mesh here; the
+    multi-device exchange is validated by dryrun_multichip / tests).
+
+Run: python bench.py              headline + budget + configs 1-5
      python bench.py --quick      small shapes, smoke test
-     python bench.py --config N   BASELINE config N in {1,2,3,4}
-                                  (5 = spatial multi-host needs >1 host)
+     python bench.py --headline   headline only (old default behavior)
+     python bench.py --config N   BASELINE config N in {1,2,3,4,5}
 """
 
 import json
@@ -68,7 +74,7 @@ def bench_config_1(rng):
     """512x512 gray, 8x8, 64 vertical seams + native CPU reference time."""
     lumas = _mk_lumas(rng, 512, 512, channels=None)
     v, t = _time_carve(lumas, 64, 8)
-    _log(f"# config1 512x512 gray 64 seams: {v:.1f} Mpix/s ({t*1e3:.1f} ms)")
+    line = f"# config1 512x512 gray 64 seams: {v:.1f} Mpix/s ({t*1e3:.1f} ms)"
     try:
         from dct_carver_tpu.utils.native import carve_native
 
@@ -76,11 +82,11 @@ def bench_config_1(rng):
         t0 = time.perf_counter()
         carve_native(luma64, 64, 8, 0.0, 1.0)
         tc = time.perf_counter() - t0
-        _log(f"# config1 native single-core CPU reference: "
-             f"{512*512*64/tc/1e6:.1f} Mpix/s ({tc:.2f} s) — TPU speedup "
-             f"{tc/t:.0f}x")
+        line += (f"; native 1-core CPU ref {512*512*64/tc/1e6:.1f} Mpix/s "
+                 f"-> TPU {tc/t:.0f}x")
     except Exception as e:
-        _log(f"# native reference unavailable: {e}")
+        line += f"; native ref unavailable: {e}"
+    _log(line)
     return v
 
 
@@ -112,12 +118,14 @@ def bench_config_3(rng):
     run(lumas[1])
     t = time.perf_counter() - t0
     v = h * w * 2 * n / t / 1e6
-    _log(f"# config3 4K 16x16 bidirectional (2x{n} seams): {v:.1f} Mpix/s ({t:.2f} s)")
+    _log(f"# config3 4K 16x16 bidirectional (2x{n} seams): {v:.1f} Mpix/s "
+         f"({t:.2f} s)")
     return v
 
 
 def bench_config_4(rng):
-    """Batch of 1-Mpix images, 128 seams each, sharded over the mesh.
+    """Batch of 1-Mpix images, 128 seams each, sharded over the mesh —
+    exercises the flattened-batch (custom_vmap) Pallas kernels on Mosaic.
     (Batch scaled to fit one chip's HBM; BASELINE's 1024 images assume a pod.)"""
     import jax
     from dct_carver_tpu.parallel.mesh import carve_batch
@@ -136,8 +144,120 @@ def bench_config_4(rng):
     return v
 
 
+def bench_config_5(rng):
+    """Spatially-sharded single image (BASELINE config 5: 8K panorama).
+    On one chip the mesh is 1-wide (collectives degenerate); the bench
+    records throughput + the collective budget per seam of the design."""
+    import jax
+    import jax.numpy as jnp
+    from dct_carver_tpu.parallel.mesh import make_mesh
+    from dct_carver_tpu.parallel.spatial import (
+        spatial_carve_n_seams, collectives_per_seam,
+    )
+
+    h, w, n = 4320, 7680, 16
+    mesh = make_mesh(axis_name="x")
+    nsh = mesh.shape["x"]
+    lumas = _mk_lumas(rng, h, w, k=2)
+
+    def run(x):
+        r = spatial_carve_n_seams(x, n, blocksize=8, mesh=mesh)
+        int(r.width)
+
+    run(lumas[0])
+    t0 = time.perf_counter()
+    run(lumas[1])
+    t = time.perf_counter() - t0
+    v = h * w * n / t / 1e6
+    coll = collectives_per_seam(h)
+    _log(f"# config5 8K spatial ({nsh} shard(s), {n} seams): {v:.1f} Mpix/s "
+         f"({t:.2f} s); {coll} collectives/seam (vs {3*h} per-row design)")
+    return v
+
+
+def bench_stage_budget(rng, lumas):
+    """Per-seam device-time split of the production 1080p carve: DP (find
+    seam), apply (fused 3-buffer compaction), strip (energy update).  Each
+    stage loops 64x inside ONE jit with a data dependency so XLA cannot
+    hoist it (same methodology as scripts/profile_seam.py)."""
+    import jax
+    import jax.numpy as jnp
+    from dct_carver_tpu.ops.carve import (
+        make_state, full_energy_map, _recompute_strip_pallas, strip_pallas_ok,
+        _recompute_strip,
+    )
+    from dct_carver_tpu.pallas.dp_kernel import find_seam_pallas
+    from dct_carver_tpu.pallas.apply_kernel import (
+        apply_seam_pallas, new_edge_value,
+    )
+
+    H, W = lumas[0].shape
+    N = 64
+    use_pallas_strip = strip_pallas_ok(H, W, 8, 1)
+
+    @jax.jit
+    def prep(luma):
+        s = make_state(luma)
+        return s._replace(energy=full_energy_map(luma, 8, 0.0, 1.0))
+
+    states = [jax.block_until_ready(prep(l)) for l in lumas[:3]]
+
+    def timeit(fn, reps=2):
+        fn(states[0])
+        best = float("inf")
+        for i in range(reps):
+            s = states[(i + 1) % len(states)]
+            t0 = time.perf_counter()
+            out = fn(s)
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        return best / N * 1e3  # ms per iteration
+
+    def fake_seam(i, s):
+        return jnp.broadcast_to((i * 37) % (s.width - 1), (H,)).astype(jnp.int32)
+
+    @jax.jit
+    def loop_dp(state):
+        def body(i, carry):
+            e, acc = carry
+            seam = find_seam_pallas(e, state.width)
+            e = e.at[0, :].add(seam[0].astype(jnp.float32) * 1e-30)
+            return (e, acc + seam[0])
+        _, acc = jax.lax.fori_loop(0, N, body, (state.energy, jnp.int32(0)))
+        return acc
+
+    @jax.jit
+    def loop_apply(state):
+        def body(i, s):
+            seam = fake_seam(i, s)
+            edge = new_edge_value(s.luma, seam, s.width)
+            lm, oc, en = apply_seam_pallas(s.luma, s.origcol, s.energy, seam,
+                                           edge, s.width)
+            return s._replace(luma=lm, origcol=oc, energy=en,
+                              width=s.width - 1)
+        s = jax.lax.fori_loop(0, N, body, state)
+        return s.luma[0, 0] + s.energy[0, 0]
+
+    @jax.jit
+    def loop_strip(state):
+        def body(i, s):
+            seam = fake_seam(i, s)
+            rec = (_recompute_strip_pallas if use_pallas_strip
+                   else _recompute_strip)
+            en = rec(s, seam, 8, 0.0, 1.0, 1)
+            return s._replace(energy=en, width=s.width - 1)
+        s = jax.lax.fori_loop(0, N, body, state)
+        return s.energy[0, 0]
+
+    dp = timeit(loop_dp)
+    ap = timeit(loop_apply)
+    st = timeit(loop_strip)
+    return dp, ap, st
+
+
 def main():
     quick = "--quick" in sys.argv
+    headline_only = "--headline" in sys.argv
     cfg = None
     if "--config" in sys.argv:
         cfg = int(sys.argv[sys.argv.index("--config") + 1])
@@ -153,9 +273,9 @@ def main():
 
     if cfg is not None:
         fn = {1: bench_config_1, 2: bench_config_2, 3: bench_config_3,
-              4: bench_config_4}.get(cfg)
+              4: bench_config_4, 5: bench_config_5}.get(cfg)
         if fn is None:
-            _log(f"# config {cfg} not runnable here (5 needs multiple hosts)")
+            _log(f"# unknown config {cfg}")
             return
         v = fn(rng)
         print(json.dumps({
@@ -171,22 +291,25 @@ def main():
 
     lumas = _mk_lumas(rng, h, w)
     headline, t = _time_carve(lumas, seams, 8, strip_update=True)
-    _log(f"# {h}x{w} 8x8 strip-update: {headline:.1f} Mpix/s "
-         f"({seams} seams in {t*1e3:.1f} ms)")
+    _log(f"# headline {h}x{w} 8x8 strip-update: {headline:.1f} Mpix/s "
+         f"({seams} seams in {t*1e3:.1f} ms, {t/seams*1e3:.3f} ms/seam)")
 
-    if not quick:
-        for label, kw in [
-            ("full-recompute", dict(strip_update=False, n=8)),
-            ("pallas-dp", dict(use_pallas=True, n=seams)),
-            ("scan-dp", dict(use_pallas=False, n=seams)),
-        ]:
+    if not quick and not headline_only:
+        try:
+            dp, ap, st = bench_stage_budget(rng, lumas)
+            _log(f"# stage budget per seam: dp={dp:.3f} ms apply={ap:.3f} ms "
+                 f"strip={st:.3f} ms (sum {dp+ap+st:.3f} vs "
+                 f"e2e {t/seams*1e3:.3f})")
+        except Exception as e:
+            _log(f"# stage budget failed: {e}")
+        for name, fn in [("config1", bench_config_1), ("config2", bench_config_2),
+                         ("config3", bench_config_3), ("config4", bench_config_4),
+                         ("config5", bench_config_5)]:
             try:
-                n = kw.pop("n")
-                v, tt = _time_carve(lumas, n, 8, repeats=2, **kw)
-                _log(f"# {h}x{w} 8x8 {label}: {v:.1f} Mpix/s "
-                     f"({n} seams in {tt*1e3:.1f} ms)")
+                fn(rng)
             except Exception as e:  # secondary configs must not kill the headline
-                _log(f"# {label} bench failed: {e}")
+                _log(f"# {name} bench failed: {type(e).__name__}: "
+                     f"{str(e).splitlines()[0][:120]}")
 
     print(json.dumps({
         "metric": "single_seam_retarget_throughput",

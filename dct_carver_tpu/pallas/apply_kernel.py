@@ -51,41 +51,43 @@ def new_edge_value(luma: jax.Array, seam: jax.Array,
     return jnp.take_along_axis(luma, jnp.broadcast_to(col, (H, 1)), axis=1)
 
 
-def _apply_kernel(width_ref, seam_ref, edge_ref, luma_ref, oc_ref, e_ref,
-                  luma_out, oc_out, e_out):
-    R, W = luma_ref.shape
-    colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    new_width = width_ref[0] - 1
-    seam_blk = seam_ref[:, :]              # (R, 1) int32
-    keep = colids < seam_blk               # (R, W) per-row compaction mask
+def _make_apply_kernel(blocks_per_image: int):
+    def kernel(width_ref, seam_ref, edge_ref, luma_ref, oc_ref, e_ref,
+               luma_out, oc_out, e_out):
+        g = pl.program_id(0)
+        e_img = g // blocks_per_image      # image index in the flat batch
+        R, W = luma_ref.shape
+        colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        new_width = width_ref[e_img] - 1
+        seam_blk = seam_ref[:, :]          # (R, 1) int32
+        keep = colids < seam_blk           # (R, W) per-row compaction mask
 
-    def compact(ref):
-        x = ref[:, :]
-        return jnp.where(keep, x, pltpu.roll(x, W - 1, axis=1))
+        def compact(ref):
+            x = ref[:, :]
+            return jnp.where(keep, x, pltpu.roll(x, W - 1, axis=1))
 
-    luma = compact(luma_ref)
-    luma_out[:, :] = jnp.where(colids >= new_width, edge_ref[:, :], luma)
-    oc_out[:, :] = compact(oc_ref)
-    e_out[:, :] = compact(e_ref)
+        luma = compact(luma_ref)
+        luma_out[:, :] = jnp.where(colids >= new_width, edge_ref[:, :], luma)
+        oc_out[:, :] = compact(oc_ref)
+        e_out[:, :] = compact(e_ref)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def apply_seam_pallas(luma: jax.Array, origcol: jax.Array, energy: jax.Array,
-                      seam: jax.Array, edge_new: jax.Array, width: jax.Array,
-                      *, interpret: bool | None = None):
-    """Compact (luma, origcol, energy) around `seam` in one fused pass.
-
-    luma/energy (H, W) f32, origcol (H, W) i32, seam (H,) i32,
-    edge_new (H, 1) f32 from `new_edge_value`, width () i32 (logical width
-    BEFORE removal).  Returns (luma', origcol', energy') with luma' edge-
-    filled at columns >= width-1.  H % 8 == 0, W % 128 == 0 required."""
-    H, W = luma.shape
+def _apply_seam_batched(luma, origcol, energy, seam, edge_new, width, *,
+                        interpret: bool | None = None):
+    """Flattened batch form: (B, H, W) buffers, (B, H) seam, (B, H, 1) edge,
+    (B,) width.  Blocks never straddle images (H % ROW_BLOCK == 0), so the
+    batch is just more grid steps over the row-flattened layout."""
+    B, H, W = luma.shape
     if interpret is None:
         interpret = _interpret_default()
-    grid = (H // ROW_BLOCK,)
-    blk = lambda b: (b, 0)
-    return pl.pallas_call(
-        _apply_kernel,
+    nb = H // ROW_BLOCK
+    grid = (B * nb,)
+    blk = lambda g: (g, 0)
+    out = pl.pallas_call(
+        _make_apply_kernel(nb),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -101,10 +103,59 @@ def apply_seam_pallas(luma: jax.Array, origcol: jax.Array, energy: jax.Array,
             pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, W), luma.dtype),
-            jax.ShapeDtypeStruct((H, W), jnp.int32),
-            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, W), luma.dtype),
+            jax.ShapeDtypeStruct((B * H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B * H, W), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(width, jnp.int32).reshape(1), seam.reshape(H, 1),
-      edge_new, luma, origcol, energy)
+    )(jnp.broadcast_to(jnp.asarray(width, jnp.int32), (B,)),
+      seam.reshape(B * H, 1), edge_new.reshape(B * H, 1),
+      luma.reshape(B * H, W), origcol.reshape(B * H, W),
+      energy.reshape(B * H, W))
+    return tuple(o.reshape(B, H, W) for o in out)
+
+
+@functools.lru_cache(maxsize=None)
+def _apply_cv(interpret: bool | None):
+    """custom_vmap wrapper: `jax.vmap` maps to the flattened batched kernel
+    instead of the (Mosaic-unsupported) generic batched BlockSpec rule."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(luma, origcol, energy, seam, edge_new, width):
+        out = _apply_seam_batched(
+            luma[None], origcol[None], energy[None], seam[None],
+            edge_new[None], width, interpret=interpret,
+        )
+        return tuple(o[0] for o in out)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, luma, origcol, energy, seam, edge_new,
+              width):
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size, *x.shape))
+
+        args = [bcast(x, b) for x, b in zip(
+            (luma, origcol, energy, seam, edge_new), in_batched[:5])]
+        width = jnp.broadcast_to(jnp.asarray(width, jnp.int32), (axis_size,))
+        out = _apply_seam_batched(*args, width, interpret=interpret)
+        return out, (True, True, True)
+
+    return f
+
+
+def apply_seam_pallas(luma: jax.Array, origcol: jax.Array, energy: jax.Array,
+                      seam: jax.Array, edge_new: jax.Array, width: jax.Array,
+                      *, interpret: bool | None = None):
+    """Compact (luma, origcol, energy) around `seam` in one fused pass.
+
+    luma/energy (H, W) f32, origcol (H, W) i32, seam (H,) i32,
+    edge_new (H, 1) f32 from `new_edge_value`, width () i32 (logical width
+    BEFORE removal).  Returns (luma', origcol', energy') with luma' edge-
+    filled at columns >= width-1.  H % 8 == 0, W % 128 == 0 required.
+    Composable with `jax.vmap` (batch lowers to one flattened kernel)."""
+    return _apply_cv(interpret)(
+        luma, origcol, energy, seam, edge_new,
+        jnp.asarray(width, jnp.int32),
+    )

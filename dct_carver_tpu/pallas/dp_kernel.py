@@ -185,9 +185,13 @@ def fused_seam_supported(H: int, W: int) -> bool:
     return pallas_supported(H, W) and H * W <= MAX_FUSED_PARENT_BYTES
 
 
-def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry):
-    """One kernel per seam: forward DP into VMEM-resident parents; on the
-    last grid step, masked leftmost argmin of the frontier + full backtrack.
+def _make_fused_seam_kernel(nb: int):
+    """One kernel per seam (batch-aware: grid step g = image e = g // nb,
+    row block b = g % nb): forward DP into VMEM-resident parents; on the
+    image's last grid step, masked leftmost argmin of the frontier + full
+    backtrack.  The parents/carry scratch is reused image-to-image (reset at
+    b == 0), so a batch is just more grid steps — this is the flattened form
+    `jax.vmap` routes to (custom_vmap), like pallas/energy_kernel.py.
 
     Decisions are bitwise-identical to dp_forward + XLA argmin + dp_backtrack
     (same op order, same leftmost-min tie rules).  Two latency optimizations
@@ -199,14 +203,27 @@ def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry):
         around the seam instead of scalar-reducing a full-W one-hot per row
         (the seam drifts <= 1 column/row, so an R-row block stays inside the
         window; per-row work is then ~2 vregs with no cross-lane reduce)."""
-    b = pl.program_id(0)
-    nb = pl.num_programs(0)
-    R, W = e_ref.shape
-    colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    inf = jnp.float32(jnp.inf)
-    width = width_ref[0]
-    lo = width_ref[1]
-    in_win = (colids >= lo) & (colids < lo + width)
+
+    def kernel(width_ref, e_ref, seam_ref, parents, carry):
+        g = pl.program_id(0)
+        e = g // nb
+        b = g % nb
+        R, W = e_ref.shape
+        colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        inf = jnp.float32(jnp.inf)
+        width = width_ref[e, 0]
+        lo = width_ref[e, 1]
+        in_win = (colids >= lo) & (colids < lo + width)
+        return _fused_seam_body(
+            b, nb, R, W, colids, inf, width, lo, in_win,
+            e_ref, seam_ref, parents, carry,
+        )
+
+    return kernel
+
+
+def _fused_seam_body(b, nb, R, W, colids, inf, width, lo, in_win,
+                     e_ref, seam_ref, parents, carry):
 
     # Zero-init instead of special-casing row 0: m0 = e0 + min(0, 0, 0) =
     # e0 + 0.0 — value-identical to e0 (only the sign of exact zeros can
@@ -286,30 +303,60 @@ def _fused_seam_kernel(width_ref, e_ref, seam_ref, parents, carry):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
-                     interpret: bool | None = None) -> jax.Array:
-    H, W = E.shape
+def _fused_find_seam_batched(E: jax.Array, width: jax.Array, lo: jax.Array, *,
+                             interpret: bool | None = None) -> jax.Array:
+    """E (B, H, W) f32, width/lo (B,) i32 -> (B, H) i32 seams.  One flattened
+    kernel launch: grid (B * H/ROW_BLOCK), parents scratch reused per image."""
+    B, H, W = E.shape
     if interpret is None:
         interpret = _interpret_default()
-    wl = jnp.stack([jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)])
+    nb = H // ROW_BLOCK
+    wl = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(width, jnp.int32), (B,)),
+        jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,)),
+    ], axis=1)
     seam2d = pl.pallas_call(
-        _fused_seam_kernel,
-        grid=(H // ROW_BLOCK,),
+        _make_fused_seam_kernel(nb),
+        grid=(B * nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_BLOCK, W), lambda b: (b, 0),
+            pl.BlockSpec((ROW_BLOCK, W), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((H, 1), lambda b: (0, 0),
+        out_specs=pl.BlockSpec((H, 1), lambda g: (g // nb, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B * H, 1), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((H, W), jnp.int8),
             pltpu.VMEM((1, W), jnp.float32),
         ],
         interpret=interpret,
-    )(wl, E)
-    return seam2d[:, 0]
+    )(wl, E.reshape(B * H, W))
+    return seam2d.reshape(B, H)
+
+
+@functools.lru_cache(maxsize=None)
+def _find_seam_cv(interpret: bool | None):
+    """custom_vmap wrapper: `jax.vmap` maps to the flattened batched kernel
+    instead of the (Mosaic-unsupported) generic batched BlockSpec rule."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(E, width, lo):
+        return _fused_find_seam_batched(
+            E[None], width, lo, interpret=interpret
+        )[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, E, width, lo):
+        E_b, w_b, lo_b = in_batched
+        if not E_b:
+            E = jnp.broadcast_to(E[None], (axis_size, *E.shape))
+        width = jnp.broadcast_to(jnp.asarray(width, jnp.int32), (axis_size,))
+        lo = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (axis_size,))
+        return _fused_find_seam_batched(E, width, lo, interpret=interpret), True
+
+    return f
 
 
 # ------------------------------------------------------------------ driver --
@@ -321,10 +368,13 @@ def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
 
     Bitwise-identical decisions to mask_energy + cumulative_energy + backtrack
     in ops/dp.py (with lo=0).  Uses the fused single-kernel path when the
-    parents array fits VMEM; otherwise the two-kernel streamed path."""
+    parents array fits VMEM; otherwise the two-kernel streamed path.
+    Composable with `jax.vmap` (batch lowers to one flattened kernel)."""
     H, W = E.shape
     if fused_seam_supported(H, W):
-        return _fused_find_seam(E, width, lo, interpret=interpret)
+        return _find_seam_cv(interpret)(
+            E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)
+        )
     parents, mlast = dp_forward(E, width, lo, interpret=interpret)
     col = jnp.arange(W)
     masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)

@@ -61,11 +61,14 @@ def _rotl(x, rem):
 
 # ------------------------------------------------------------------ gather --
 
-def _make_gather_kernel(slab_rows: int, row_block: int):
+def _make_gather_kernel(slab_rows: int, row_block: int,
+                        blocks_per_image: int, stride: int):
     def kernel(bs_ref, lp_ref, out_ref, slab, sem):
         """Per block b: DMA the (slab_rows, WIN) window of the padded luma at
         the 128-aligned lane offset astart, rotate left so lane t holds
-        padded column bs+t, and emit it.
+        padded column bs+t, and emit it.  Batch-aware: grid step g belongs to
+        image g // blocks_per_image, whose padded rows start at image*stride
+        in the row-flattened lp (flattened form for `jax.vmap`, custom_vmap).
 
         Double-buffered: block b+1's window DMA is started before waiting on
         block b's, so the per-block DMA latency is hidden behind the previous
@@ -79,9 +82,10 @@ def _make_gather_kernel(slab_rows: int, row_block: int):
             bsi = bs_ref[i]
             astart = jnp.minimum((bsi // LANE) * LANE, Wl - WIN)
             astart = pl.multiple_of(astart, LANE)
+            row = (i // blocks_per_image) * stride \
+                + (i % blocks_per_image) * row_block
             return pltpu.make_async_copy(
-                lp_ref.at[pl.ds(i * row_block, slab_rows),
-                          pl.ds(astart, WIN)],
+                lp_ref.at[pl.ds(row, slab_rows), pl.ds(astart, WIN)],
                 slab.at[slot], sem.at[slot],
             )
 
@@ -106,6 +110,59 @@ def _make_gather_kernel(slab_rows: int, row_block: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("slab_rows", "row_block", "interpret"))
+def _gather_slabs_batched(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
+                          row_block: int = ROW_BLOCK,
+                          interpret: bool | None = None) -> jax.Array:
+    """Flattened batch form: lp (B, Hp, Wl), bs (B, nb) ->
+    (B, nb, slab_rows, WIN).  One kernel launch over B*nb grid steps."""
+    B, Hp, Wl = lp.shape
+    nb = int(bs.shape[1])
+    if interpret is None:
+        interpret = _interpret_default()
+    out = pl.pallas_call(
+        _make_gather_kernel(slab_rows, row_block, nb, Hp),
+        grid=(B * nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((slab_rows, WIN), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nb * slab_rows, WIN), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, slab_rows, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(bs.astype(jnp.int32).reshape(B * nb), lp.reshape(B * Hp, Wl))
+    return out.reshape(B, nb, slab_rows, WIN)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_cv(slab_rows: int, row_block: int, interpret: bool | None):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(lp, bs):
+        return _gather_slabs_batched(
+            lp[None], bs[None], slab_rows, row_block=row_block,
+            interpret=interpret,
+        )[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, lp, bs):
+        lp_b, bs_b = in_batched
+        if not lp_b:
+            lp = jnp.broadcast_to(lp[None], (axis_size, *lp.shape))
+        if not bs_b:
+            bs = jnp.broadcast_to(bs[None], (axis_size, *bs.shape))
+        return _gather_slabs_batched(
+            lp, bs, slab_rows, row_block=row_block, interpret=interpret
+        ), True
+
+    return f
+
+
 def gather_slabs(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
                  row_block: int = ROW_BLOCK,
                  interpret: bool | None = None) -> jax.Array:
@@ -119,28 +176,9 @@ def gather_slabs(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
     fits, and rem <= WIN - gwb when clamped at the right edge provided
     Wl >= W + blocksize - 1 — so callers reading the first gwb <= 128 lanes
     always see valid data.  slab_rows must be a multiple of 8 (DMA row
-    alignment).
+    alignment).  Composable with `jax.vmap` (flattened batched kernel).
     """
-    nb = int(bs.shape[0])
-    if interpret is None:
-        interpret = _interpret_default()
-    out = pl.pallas_call(
-        _make_gather_kernel(slab_rows, row_block),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((slab_rows, WIN), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * slab_rows, WIN), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, slab_rows, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(bs.astype(jnp.int32), lp)
-    return out.reshape(nb, slab_rows, WIN)
+    return _gather_cv(slab_rows, row_block, interpret)(lp, bs)
 
 
 # ----------------------------------------------------------------- scatter --
@@ -207,6 +245,66 @@ def _make_scatter_kernel(swb: int, R: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("swb", "row_block", "interpret"))
+def _scatter_strips_batched(E: jax.Array, strips: jax.Array, bs: jax.Array,
+                            swb: int, *, row_block: int = ROW_BLOCK,
+                            interpret: bool | None = None) -> jax.Array:
+    """Flattened batch form: E (B, H, W), strips (B, nb, row_block, WIN),
+    bs (B, nb).  The kernel is batch-transparent: with H % row_block == 0,
+    flat grid step g's rows start at g*row_block in the row-flattened E, so
+    blocks never straddle images."""
+    B, H, W = E.shape
+    nb = int(bs.shape[1])
+    if interpret is None:
+        interpret = _interpret_default()
+    out = pl.pallas_call(
+        _make_scatter_kernel(swb, row_block),
+        grid=(B * nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((row_block, WIN), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B * H, W), jnp.float32),
+        input_output_aliases={2: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, row_block, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(bs.astype(jnp.int32).reshape(B * nb),
+      strips.reshape(B * nb * row_block, WIN), E.reshape(B * H, W))
+    return out.reshape(B, H, W)
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_cv(swb: int, row_block: int, interpret: bool | None):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(E, strips, bs):
+        return _scatter_strips_batched(
+            E[None], strips[None], bs[None], swb, row_block=row_block,
+            interpret=interpret,
+        )[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, E, strips, bs):
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size, *x.shape))
+
+        E, strips, bs = (bcast(x, b) for x, b in
+                         zip((E, strips, bs), in_batched))
+        return _scatter_strips_batched(
+            E, strips, bs, swb, row_block=row_block, interpret=interpret
+        ), True
+
+    return f
+
+
 def scatter_strips(E: jax.Array, strips: jax.Array, bs: jax.Array, swb: int,
                    *, row_block: int = ROW_BLOCK,
                    interpret: bool | None = None) -> jax.Array:
@@ -216,27 +314,6 @@ def scatter_strips(E: jax.Array, strips: jax.Array, bs: jax.Array, swb: int,
 
     The energy buffer is aliased in place; only the (row_block)x256 windows
     move.  H % row_block == 0, W % 128 == 0, W >= 256 required.
+    Composable with `jax.vmap` (flattened batched kernel).
     """
-    H, W = E.shape
-    nb = int(bs.shape[0])
-    if interpret is None:
-        interpret = _interpret_default()
-    return pl.pallas_call(
-        _make_scatter_kernel(swb, row_block),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((row_block, WIN), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
-        input_output_aliases={2: 0},
-        scratch_shapes=[
-            pltpu.VMEM((2, row_block, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(bs.astype(jnp.int32), strips.reshape(nb * row_block, WIN), E)
+    return _scatter_cv(swb, row_block, interpret)(E, strips, bs)

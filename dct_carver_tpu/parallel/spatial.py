@@ -6,22 +6,37 @@ fixes are (a) the energy's sliding window needs a blocksize-wide column halo
 (`src/render.c:146-151` geometry), and (b) liblqr's column-DP recurrence
 (delta_x=1) must cross tile boundaries so seams stay globally optimal.
 
-TPU-native design (`shard_map` over a 1-D mesh axis "x", columns sharded):
+TPU-native design (`shard_map` over a 1-D mesh axis "x", columns sharded),
+with collectives BLOCKED over K rows so their count is O(H/K) per seam
+instead of O(H) (the r2 per-row frontier exchange):
 
-* energy   — one `ppermute` halo exchange (r-1 left cols / r right cols),
-             then the SAME `energy_from_bands` core as single-device → the
-             sharded energy is bitwise equal to the unsharded one.
-* DP       — `lax.scan` over rows; each step exchanges ONE boundary value per
-             direction via `ppermute` (the DP frontier), so the min-plus
-             recurrence is exactly the global one.
-* backtrack— the 3 candidate values at global columns j-1..j+1 are assembled
-             with a masked `psum` (each global column is owned by exactly one
-             shard), keeping the leftmost-min tie rule.
+* energy   — halo exchange (r-1 left / r right cols), then the SAME
+             `energy_from_bands` core as single-device → the sharded energy
+             is bitwise equal to the unsharded one.  Computed in full once;
+             per-seam updates recompute only the seam strip (below).
+* DP       — K-row trapezoid blocks: ONE ppermute pair per K rows exchanges
+             a 2K-column halo of the frontier row + the K-row energy block;
+             the min-plus recurrence then runs K rows locally on the
+             halo-extended width.  With delta_x=1 a value |dc| columns from
+             exact data is correct for |dc| rows, so the owned columns stay
+             EXACTLY the global recurrence (trapezoid argument, see
+             `_sharded_dp`).
+* backtrack— the seam drifts <= 1 col/row, so a K-row segment stays within
+             +-K columns of its entry point: the shard owning the entry
+             column walks the whole segment locally on its halo-extended M
+             and ONE psum per K rows broadcasts it (plus one pmin pair for
+             the global leftmost argmin of the last row).
+* strip    — per-seam energy update recomputes only the static-width strip
+             around the removed seam (bitwise equal to a full recompute,
+             like ops/carve.py): one luma halo exchange per seam, then the
+             same block-aligned slab/energy/scatter locally per shard.
 * removal  — per-shard select-shift compaction; the boundary pixel flows in
              from the right neighbor via `ppermute`.
 
 The result is seam-for-seam identical to `ops.carve.carve_n_seams`
 (asserted in tests/test_spatial.py), with collectives riding ICI.
+`collectives_per_seam` gives the per-seam collective budget: ~3*ceil(H/K)+9
+vs ~3*H for the per-row design (>30x fewer at 8K with K=32).
 """
 
 from __future__ import annotations
@@ -35,56 +50,113 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.dct import energy_from_bands
+from ..ops.carve import _strip_bounds, _strip_block_dims, min_strip_width
 from .mesh import make_mesh
 
-__all__ = ["spatial_carve_n_seams", "SpatialCarveResult"]
+__all__ = ["spatial_carve_n_seams", "SpatialCarveResult",
+           "collectives_per_seam"]
+
+FRONTIER_BLOCK = 32  # rows per DP/backtrack collective exchange (K)
+STRIP_ROWS = 8       # rows per strip-update block (R)
+
+
+def collectives_per_seam(H: int, K: int = FRONTIER_BLOCK,
+                         blocked: bool = True) -> int:
+    """Collective-op count per carved seam (single-hop halo regime).
+
+    Blocked design: 2 ppermutes per K-row DP block, 1 psum per K-row
+    backtrack segment + 2 pmin (global argmin), 2 ppermutes (strip halo),
+    3 ppermutes (compaction), 2 psums (edge fill + vmap bookkeeping).
+    Per-row design (for comparison): 2 ppermutes per DP row + 1 psum per
+    backtrack row."""
+    nb = -(-H // K)
+    if blocked:
+        return 2 * nb + (nb + 2) + 2 + 3 + 2
+    return 3 * H
 
 
 def _axis_index(axis):
     return jax.lax.axis_index(axis)
 
 
-def _shift_from_left(x, axis):
+def _pvary(x, axis):
+    """Mark a replicated value as varying over `axis` (shard_map scan carries
+    must have consistent varying-axis types)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
+def _from_left(x, axis):
     """Each shard receives x from its LEFT neighbor (shard 0 receives zeros)."""
     n = jax.lax.axis_size(axis)
     perm = [(i, i + 1) for i in range(n - 1)]
     return jax.lax.ppermute(x, axis, perm)
 
 
-def _shift_from_right(x, axis):
+def _from_right(x, axis):
     """Each shard receives x from its RIGHT neighbor (last shard gets zeros)."""
     n = jax.lax.axis_size(axis)
     perm = [(i + 1, i) for i in range(n - 1)]
     return jax.lax.ppermute(x, axis, perm)
 
 
-def _halo_exchange_cols(local, n_left, n_right, axis):
-    """Append neighbor column halos; global edges replicate the local edge
-    (edge-clamp semantics, src/render.c:122-132)."""
-    idx = _axis_index(axis)
-    nsh = jax.lax.axis_size(axis)
-    left_src = local[:, -n_left:] if n_left else None
-    right_src = local[:, :n_right] if n_right else None
+def _halo_gather(x, n_left: int, n_right: int, axis):
+    """(H', Wl) -> (H', n_left + Wl + n_right): append neighbor column halos.
+
+    Multi-hop when a halo is wider than one shard (tiny test shards);
+    positions beyond the mesh ends arrive as ZEROS — callers mask or clamp
+    them by global column index."""
+    Wl = x.shape[1]
     parts = []
     if n_left:
-        from_left = _shift_from_left(left_src, axis)
-        # shard 0: replicate own first column
-        edge = jnp.repeat(local[:, :1], n_left, axis=1)
-        parts.append(jnp.where(idx == 0, edge, from_left))
-    parts.append(local)
+        hops, blocks, cur = -(-n_left // Wl), [], x
+        for _ in range(hops):
+            cur = _from_left(cur, axis)
+            blocks.append(cur)
+        parts.append(jnp.concatenate(blocks[::-1], axis=1)[:, -n_left:])
+    parts.append(x)
     if n_right:
-        from_right = _shift_from_right(right_src, axis)
-        edge = jnp.repeat(local[:, -1:], n_right, axis=1)
-        parts.append(jnp.where(idx == nsh - 1, edge, from_right))
+        hops, blocks, cur = -(-n_right // Wl), [], x
+        for _ in range(hops):
+            cur = _from_right(cur, axis)
+            blocks.append(cur)
+        parts.append(jnp.concatenate(blocks, axis=1)[:, :n_right])
     return jnp.concatenate(parts, axis=1)
 
 
-def _sharded_energy(local_luma, blocksize, edges, textures, axis):
+def _edge_clamped_halo(local, n_left: int, n_right: int, W: int, axis):
+    """Halo gather with GLOBAL edge-clamp semantics (src/render.c:122-132):
+    columns beyond [0, W) replicate global column 0 / W-1."""
+    idx = _axis_index(axis)
+    nsh = jax.lax.axis_size(axis)
+    H, Wl = local.shape
+    lo = idx * Wl
+    ext = _halo_gather(local, n_left, n_right, axis)
+    col_g = lo - n_left + jnp.arange(Wl + n_left + n_right)[None, :]
+    if n_left:
+        if n_left <= Wl:
+            left_fill = local[:, :1]  # only shard 0 has col_g < 0; owns col 0
+        else:
+            own0 = jnp.where(idx == 0, local[:, 0], 0.0)
+            left_fill = jax.lax.psum(own0, axis)[:, None]
+        ext = jnp.where(col_g < 0, left_fill, ext)
+    if n_right:
+        if n_right <= Wl:
+            right_fill = local[:, -1:]
+        else:
+            ownl = jnp.where(idx == nsh - 1, local[:, -1], 0.0)
+            right_fill = jax.lax.psum(ownl, axis)[:, None]
+        ext = jnp.where(col_g > W - 1, right_fill, ext)
+    return ext
+
+
+def _sharded_energy(local_luma, blocksize, edges, textures, W, axis):
     """(H, Wl) local luma -> (H, Wl) energy, bitwise equal to unsharded."""
     n = blocksize
     r = n // 2
     H, Wl = local_luma.shape
-    ext = _halo_exchange_cols(local_luma, r - 1, r, axis)  # (H, Wl + n - 1)
+    ext = _edge_clamped_halo(local_luma, r - 1, r, W, axis)  # (H, Wl + n - 1)
     row_idx = jnp.clip(
         jnp.arange(H)[:, None] + jnp.arange(-r + 1, r + 1)[None, :], 0, H - 1
     )
@@ -92,72 +164,195 @@ def _sharded_energy(local_luma, blocksize, edges, textures, axis):
     return energy_from_bands(bands, n, edges, textures).astype(jnp.float32)
 
 
-def _sharded_cumulative_energy(E_local, axis):
-    """Row scan with per-step frontier exchange.  E_local: (H, Wl) f32."""
+# -------------------------------------------------------------------- DP ----
+
+def _sharded_dp(E_local, width, K: int, axis):
+    """Blocked sharded cumulative energy.  E_local (H, Wl) f32 (unmasked);
+    returns ext_M (H, We) with We = Wl + 4K (halo Hh = 2K columns per side;
+    ext column e holds global column lo - 2K + e).
+
+    Trapezoid exactness (delta_x=1): the frontier/energy halos are exchanged
+    EXACTLY once per K-row block, so after t local scan steps ext positions
+    [t+1, We-2-t] hold the true global M.  The owned slice [2K, 2K+Wl) is
+    always exact; the extra halo width (2K instead of K+1) is what the
+    blocked backtrack needs (see `_sharded_backtrack`)."""
     idx = _axis_index(axis)
-    nsh = jax.lax.axis_size(axis)
+    H, Wl = E_local.shape
+    Hh = 2 * K
+    We = Wl + 2 * Hh
+    lo = idx * Wl
     inf = jnp.float32(jnp.inf)
+    col_g = lo - Hh + jnp.arange(We)
+    valid = (col_g >= 0) & (col_g < width)
 
-    def step(prev, e_row):
-        from_left = _shift_from_left(prev[-1:], axis)   # left neighbor's last M
-        from_right = _shift_from_right(prev[:1], axis)  # right neighbor's first M
-        lval = jnp.where(idx == 0, inf, from_left[0])
-        rval = jnp.where(idx == nsh - 1, inf, from_right[0])
-        left = jnp.concatenate([lval[None], prev[:-1]])
-        right = jnp.concatenate([prev[1:], rval[None]])
-        m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
-        return m, m
+    def block(prev, E_blk):
+        # one ppermute pair ships the frontier row + the K-row energy block
+        msg = jnp.concatenate([prev[None, :], E_blk], axis=0)
+        ext = _halo_gather(msg, Hh, Hh, axis)          # (Kb + 1, We)
+        ext_prev = jnp.where(valid, ext[0], inf)
+        ext_E = jnp.where(valid[None, :], ext[1:], inf)
 
-    m0 = E_local[0]
-    _, rest = jax.lax.scan(step, m0, E_local[1:])
-    return jnp.concatenate([m0[None], rest], axis=0)
+        def row(prev_e, e_row):
+            left = jnp.concatenate([jnp.full((1,), inf), prev_e[:-1]])
+            right = jnp.concatenate([prev_e[1:], jnp.full((1,), inf)])
+            # same op order as ops/dp.py: E + min(min(left, center), right)
+            m = e_row + jnp.minimum(jnp.minimum(left, prev_e), right)
+            return m, m
+
+        _, Ms = jax.lax.scan(row, ext_prev, ext_E)     # (Kb, We)
+        return Ms[-1, Hh:Hh + Wl], Ms
+
+    nfull, rem = H // K, H % K
+    # m0 = e0 + 0.0 (== e0 in every comparison); pvary for scan-carry typing
+    prev = _pvary(jnp.zeros((Wl,), jnp.float32), axis)
+    chunks = []
+    if nfull:
+        prev, Ms = jax.lax.scan(block, prev, E_local[:nfull * K]
+                                .reshape(nfull, K, Wl))
+        chunks.append(Ms.reshape(nfull * K, We))
+    if rem:
+        _, Ms_r = block(prev, E_local[nfull * K:])
+        chunks.append(Ms_r)
+    return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
 
 
-def _owned_value(local_row, global_idx, lo, Wl, fill):
-    """Value at a global column, assembled across shards by masked psum."""
-    li = global_idx - lo
-    valid = (li >= 0) & (li < Wl)
-    v = jnp.where(valid, local_row[jnp.clip(li, 0, Wl - 1)], 0.0)
-    return v, valid
+# -------------------------------------------------------------- backtrack ---
+
+def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis):
+    """Walk one backtrack segment locally on the owner shard of `j_bottom`,
+    then broadcast it.  ext_M_rows: (Kb, We) rows [s-1, e-1) of ext_M;
+    j_bottom: () i32 global seam column at row e-1 (replicated).  Returns
+    (Kb,) global seam columns for rows [s-1, e-1), replicated.
+
+    The seam drifts <= 1 col/row, so the whole segment lies in the +-K-column
+    window around j_bottom, which the owner's 2K halo covers exactly (the
+    needed cells sit inside the trapezoid-exact region — see _sharded_dp)."""
+    Kb = ext_M_rows.shape[0]
+    idx = _axis_index(axis)
+    lo = idx * Wl
+    Hh = 2 * K
+    We = ext_M_rows.shape[1]
+    owned = (j_bottom >= lo) & (j_bottom < lo + Wl)
+    wstart = jnp.clip(j_bottom - lo + Hh - K, 0, We - (2 * K + 1))
+    win = jax.lax.dynamic_slice(ext_M_rows, (0, wstart), (Kb, 2 * K + 1))
+    winp = jnp.pad(win, ((0, 0), (1, 1)), constant_values=jnp.inf)
+
+    def step(jl, row_p):
+        # padded 3-window [jl-1, jl, jl+1]; leftmost-min tie (ops.dp.backtrack)
+        w3 = jax.lax.dynamic_slice(row_p, (jl,), (3,))
+        jn = jl - 1 + jnp.argmin(w3).astype(jnp.int32)
+        return jn, jn
+
+    _, seg_rev = jax.lax.scan(step, _pvary(jnp.int32(K), axis), winp[::-1])
+    seg_g = seg_rev[::-1] + (j_bottom - K)             # rows [s-1, e-1)
+    seg_g = jnp.where(owned, seg_g, 0)
+    return jax.lax.psum(seg_g, axis)
 
 
-def _sharded_backtrack(M_local, width, axis):
-    """Global leftmost-min backtrack over the sharded cumulative energy."""
-    H, Wl = M_local.shape
+def _sharded_backtrack(ext_M, width, K: int, axis):
+    """Global leftmost-min backtrack over the blocked sharded M.
+    Returns (H,) global seam columns, replicated on every shard."""
+    H, We = ext_M.shape
+    Hh = 2 * K
+    Wl = We - 2 * Hh
     idx = _axis_index(axis)
     lo = idx * Wl
     inf = jnp.float32(jnp.inf)
 
-    # global argmin of the (masked) last row: leftmost min
+    # leftmost global argmin of the masked last row
     col_g = lo + jnp.arange(Wl)
-    last = jnp.where(col_g < width, M_local[-1], inf)
+    last = jnp.where(col_g < width, ext_M[-1, Hh:Hh + Wl], inf)
     lmin = jnp.min(last)
-    larg = lo + jnp.argmin(last)
+    larg = (lo + jnp.argmin(last)).astype(jnp.int32)
     gmin = jax.lax.pmin(lmin, axis)
-    # leftmost across shards: smallest global index among shards attaining gmin
     cand = jnp.where(lmin == gmin, larg, jnp.iinfo(jnp.int32).max)
-    j_last = jax.lax.pmin(cand, axis).astype(jnp.int32)
+    j = jax.lax.pmin(cand, axis).astype(jnp.int32)
+    j_last = j
 
-    def step(j, row_local):
-        cols = j - 1 + jnp.arange(3)
-        li = cols - lo
-        valid = (li >= 0) & (li < Wl)
-        vals = jnp.where(valid, row_local[jnp.clip(li, 0, Wl - 1)], 0.0)
-        vals = jax.lax.psum(vals, axis)
-        vals = jnp.where((cols >= 0) & (cols < width), vals, inf)
-        j_new = (j - 1 + jnp.argmin(vals)).astype(jnp.int32)
-        return j_new, j_new
+    nfull, rem = H // K, H % K
+    segs = []  # collected bottom-up; each (len,) for rows [start, start+len)
 
-    _, seam_rev = jax.lax.scan(step, j_last, M_local[:-1][::-1])
-    return jnp.concatenate([seam_rev[::-1], j_last[None]])  # replicated (H,)
+    if nfull == 0:
+        seg = _seg_walk(ext_M[: H - 1], j, Wl, K, axis)    # rows [0, H-1)
+        segs.append(seg)
+    else:
+        if rem:
+            # remainder chunk: rows [nfull*K - 1, H - 1)
+            seg = _seg_walk(ext_M[nfull * K - 1: H - 1], j, Wl, K, axis)
+            segs.append(seg)
+            j = seg[0]
+        if nfull > 1:
+            def chunk(jc, b):
+                rows = jax.lax.dynamic_slice(
+                    ext_M, (b * K - 1, 0), (K, We))    # rows [bK-1, bK+K-1)
+                seg = _seg_walk(rows, jc, Wl, K, axis)
+                return seg[0], seg
 
+            bs = jnp.arange(nfull - 1, 0, -1)
+            j, seg_stack = jax.lax.scan(chunk, j, bs)  # (nfull-1, K)
+            segs.append(seg_stack[::-1].reshape((nfull - 1) * K))
+        # block-0 chunk: rows [0, K-1)
+        seg0 = _seg_walk(ext_M[: K - 1], j, Wl, K, axis)
+        segs.append(seg0)
+
+    return jnp.concatenate(segs[::-1] + [j_last[None]])
+
+
+# ------------------------------------------------------------ strip update --
+
+def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
+                          textures, W: int, axis, R: int = STRIP_ROWS):
+    """Per-seam sharded energy update: recompute only the strip around the
+    removed seam.  Bitwise equal at every owned live column to the
+    single-device `_recompute_strip` (same slab values -> same
+    `energy_from_bands` chains -> same written columns)."""
+    H, Wl = luma_l.shape
+    n = blocksize
+    r = n // 2
+    idx = _axis_index(axis)
+    lo = idx * Wl
+
+    start, _ = _strip_bounds(seam, n, W, 1)            # (H,) global
+    nb = -(-H // R)
+    pad_h = nb * R - H
+    swb, gwb = _strip_block_dims(n, 1, R)
+    start_p = jnp.pad(start, (0, pad_h), mode="edge").reshape(nb, R)
+    bs = jnp.clip(jnp.min(start_p, axis=1), 0, max(W - swb, 0))  # (nb,) global
+
+    # halo-extended luma covering every slab that can overlap this shard
+    HL, HR = swb + r - 1, swb + r
+    ext = _edge_clamped_halo(luma_l, HL, HR, W, axis)  # (H, HL + Wl + HR)
+    extp = jnp.pad(ext, ((r - 1, r + pad_h), (0, 0)), mode="edge")
+
+    # slab for block k starts at ext col bs + swb - lo (clip only moves
+    # blocks with NO overlap with this shard; their values are discarded)
+    ext_w = ext.shape[1]
+    es = jnp.clip(bs + swb - lo, 0, ext_w - gwb)
+    slabs = jax.vmap(
+        lambda k, b: jax.lax.dynamic_slice(extp, (k, b), (R + n - 1, gwb))
+    )(jnp.arange(nb, dtype=jnp.int32) * R, es)
+    bands = jnp.stack([slabs[:, rr: rr + n, :] for rr in range(R)], axis=1)
+    strip_E = energy_from_bands(
+        bands.reshape(nb * R, n, gwb), n, edges, textures
+    ).astype(jnp.float32).reshape(nb, R, swb)
+
+    # scatter into a swb-per-side halo frame; halo writes are discarded
+    Eb = jnp.pad(E_shift, ((0, pad_h), (swb, swb))).reshape(nb, R, Wl + 2 * swb)
+    ts = jnp.clip(bs - lo + swb, 0, Wl + swb)
+    out = jax.vmap(
+        lambda e, s, b: jax.lax.dynamic_update_slice(e, s, (0, b))
+    )(Eb, strip_E, ts)
+    return out.reshape(nb * R, Wl + 2 * swb)[:H, swb:swb + Wl]
+
+
+# ------------------------------------------------------------- removal ------
 
 def _sharded_remove(local, seam, axis):
     """Compaction with cross-boundary pixel flow.  local: (H, Wl[, C])."""
     H, Wl = local.shape[:2]
     idx = _axis_index(axis)
     lo = idx * Wl
-    incoming = _shift_from_right(local[:, :1], axis)  # right neighbor's first col
+    incoming = _from_right(local[:, :1], axis)  # right neighbor's first col
     shifted = jnp.concatenate([local[:, 1:], incoming], axis=1)
     keep = (lo + jnp.arange(Wl))[None, :] < seam[:, None]
     if local.ndim == 3:
@@ -178,31 +373,34 @@ def _sharded_edge_fill(local_luma, width, axis):
     return jnp.where(col_g < width, local_luma, edge[:, None])
 
 
+# --------------------------------------------------------------- driver -----
+
 class SpatialCarveResult:
-    def __init__(self, vmap, width):
+    def __init__(self, vmap, width, image=None):
         self.vmap = vmap
         self.width = width
+        self.image = image  # compacted (H, W[, C]); cols >= width are dead
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_seams", "blocksize", "mesh", "axis")
+    jax.jit, static_argnames=("n_seams", "blocksize", "mesh", "axis",
+                              "frontier_block", "strip_update", "with_image")
 )
-def _spatial_carve_jit(luma, n_seams, blocksize, edges, textures, mesh, axis):
+def _spatial_carve_jit(luma, image, n_seams, blocksize, edges, textures,
+                       mesh, axis, frontier_block, strip_update, with_image):
     H, W = luma.shape
     nsh = mesh.shape[axis]
     Wl = W // nsh
+    K = max(1, min(frontier_block, H))
 
-    def shard_fn(luma_l, origcol_l, vmap_l):
+    def shard_fn(luma_l, img_l, origcol_l, vmap_l):
         idx = _axis_index(axis)
         lo = idx * Wl
 
         def body(i, state):
-            luma_l, origcol_l, vmap_l, width = state
-            E = _sharded_energy(luma_l, blocksize, edges, textures, axis)
-            col_g = (lo + jnp.arange(Wl))[None, :]
-            E = jnp.where(col_g < width, E, jnp.inf).astype(jnp.float32)
-            M = _sharded_cumulative_energy(E, axis)
-            seam = _sharded_backtrack(M, width, axis)  # (H,) global, replicated
+            luma_l, img_l, origcol_l, vmap_l, E_l, width = state
+            ext_M = _sharded_dp(E_l, width, K, axis)
+            seam = _sharded_backtrack(ext_M, width, K, axis)  # (H,) global
 
             # record the k-th seam at original coordinates
             li = seam - lo
@@ -215,10 +413,9 @@ def _spatial_carve_jit(luma, n_seams, blocksize, edges, textures, mesh, axis):
             # scatter into the vmap shard that owns each original column
             oli = orig - lo
             v_owned = (oli >= 0) & (oli < Wl)
-            upd_rows = rows
             upd_cols = jnp.clip(oli, 0, Wl - 1)
-            cur = vmap_l[upd_rows, upd_cols]
-            vmap_l = vmap_l.at[upd_rows, upd_cols].set(
+            cur = vmap_l[rows, upd_cols]
+            vmap_l = vmap_l.at[rows, upd_cols].set(
                 jnp.where(v_owned, i + 1, cur)
             )
 
@@ -227,26 +424,38 @@ def _spatial_carve_jit(luma, n_seams, blocksize, edges, textures, mesh, axis):
                 _sharded_remove(luma_l, seam, axis), width, axis
             )
             origcol_l = _sharded_remove(origcol_l, seam, axis)
-            return (luma_l, origcol_l, vmap_l, width)
+            if with_image:
+                img_l = _sharded_remove(img_l, seam, axis)
+            if strip_update:
+                E_l = _sharded_strip_update(
+                    luma_l, _sharded_remove(E_l, seam, axis), seam,
+                    blocksize, edges, textures, W, axis,
+                )
+            else:
+                E_l = _sharded_energy(luma_l, blocksize, edges, textures,
+                                      W, axis)
+            return (luma_l, img_l, origcol_l, vmap_l, E_l, width)
 
+        E0 = _sharded_energy(luma_l, blocksize, edges, textures, W, axis)
         width0 = jnp.asarray(W, jnp.int32)
-        state = (luma_l, origcol_l, vmap_l, width0)
-        luma_l, origcol_l, vmap_l, width = jax.lax.fori_loop(
+        state = (luma_l, img_l, origcol_l, vmap_l, E0, width0)
+        luma_l, img_l, origcol_l, vmap_l, E_l, width = jax.lax.fori_loop(
             0, n_seams, body, state
         )
-        return vmap_l, width[None]
+        return vmap_l, img_l, width[None]
 
     spec = P(None, axis)
+    img_spec = P(None, axis, None) if (with_image and image.ndim == 3) else spec
     shard = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=(spec, P(axis)),
+        in_specs=(spec, img_spec, spec, spec),
+        out_specs=(spec, img_spec, P(axis)),
     )
     origcol = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W))
     vmap0 = jnp.zeros((H, W), jnp.int32)
-    vmap, widths = shard(luma, origcol, vmap0)
-    return vmap, widths[0]
+    vmap, img, widths = shard(luma, image, origcol, vmap0)
+    return vmap, img, widths[0]
 
 
 def spatial_carve_n_seams(
@@ -258,20 +467,40 @@ def spatial_carve_n_seams(
     textures: float = 1.0,
     mesh: Mesh | None = None,
     axis: str = "x",
+    frontier_block: int = FRONTIER_BLOCK,
+    strip_update: bool = True,
+    image=None,
 ) -> SpatialCarveResult:
     """Carve `n_seams` from one column-sharded image.  `luma` (H, W) with W
     divisible by the mesh size.  Returns the visibility map (original coords)
-    and final width; seams are identical to the single-device path."""
+    and final width; seams are identical to the single-device path.
+
+    `image`: optional (H, W[, C]) full-channel plane carried through the
+    sharded compaction — the returned `.image` is the carved image (columns
+    < width live, sharded like the input), i.e. the sharded analog of
+    `ops.carve.reconstruct_removed` without any gather.
+    `frontier_block` (K): rows per DP/backtrack collective exchange —
+    `collectives_per_seam(H, K)` per seam instead of ~3H."""
     if mesh is None:
         mesh = make_mesh(axis_name=axis)
     W = luma.shape[1]
     nsh = mesh.shape[axis]
     if W % nsh:
         raise ValueError(f"width {W} not divisible by mesh size {nsh}")
+    if W < min_strip_width(blocksize, 1, STRIP_ROWS):
+        strip_update = False
     luma = jax.device_put(
         jnp.asarray(luma), NamedSharding(mesh, P(None, axis))
     )
-    vmap, width = _spatial_carve_jit(
-        luma, n_seams, blocksize, edges, textures, mesh, axis
+    with_image = image is not None
+    if with_image:
+        image = jnp.asarray(image)
+        ispec = P(None, axis, None) if image.ndim == 3 else P(None, axis)
+        image = jax.device_put(image, NamedSharding(mesh, ispec))
+    else:
+        image = jnp.zeros((1, nsh), luma.dtype)  # placeholder, untouched
+    vmap, img, width = _spatial_carve_jit(
+        luma, image, n_seams, blocksize, edges, textures, mesh, axis,
+        frontier_block, strip_update, with_image
     )
-    return SpatialCarveResult(vmap, width)
+    return SpatialCarveResult(vmap, width, img if with_image else None)

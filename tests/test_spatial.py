@@ -66,3 +66,49 @@ def test_spatial_width_not_divisible_raises(mesh8):
     luma_np, _ = _luma(16, 60)
     with pytest.raises(ValueError):
         spatial_carve_n_seams(luma_np, 1, mesh=mesh8)
+
+
+@pytest.mark.parametrize("K", [4, 7, 64])
+def test_spatial_frontier_block_sizes(mesh8, K):
+    """Blocked DP/backtrack must be exact for any K (incl. K > H and
+    remainder blocks H % K != 0)."""
+    luma_np, _ = _luma(24, 64, seed=3)
+    n = 4
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.0, 1.0, strip_update=False
+    )
+    sharded = spatial_carve_n_seams(
+        luma_np, n, mesh=mesh8, frontier_block=K
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
+
+
+def test_spatial_strip_vs_full_recompute(mesh8):
+    """The sharded per-seam strip update must give the same seams as the
+    sharded full recompute (and both match single-device)."""
+    luma_np, _ = _luma(32, 128, seed=5)
+    n = 6
+    a = spatial_carve_n_seams(luma_np, n, mesh=mesh8, strip_update=True)
+    b = spatial_carve_n_seams(luma_np, n, mesh=mesh8, strip_update=False)
+    np.testing.assert_array_equal(np.asarray(a.vmap), np.asarray(b.vmap))
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.0, 1.0, strip_update=True
+    )
+    np.testing.assert_array_equal(np.asarray(a.vmap), np.asarray(single.vmap))
+
+
+def test_spatial_image_carry_reconstructs(mesh8):
+    """Carrying the RGB image through the sharded compaction must equal
+    reconstruct_removed on the single-device vmap."""
+    luma_np, img = _luma(16, 64, seed=7)
+    n = 3
+    res = spatial_carve_n_seams(luma_np, n, mesh=mesh8, image=img)
+    ref_state = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.0, 1.0, strip_update=False
+    )
+    ref = carve_ops.reconstruct_removed(
+        jnp.asarray(img), ref_state.vmap, n)
+    got = np.asarray(res.image)[:, : 64 - n]
+    np.testing.assert_array_equal(got, np.asarray(ref))
