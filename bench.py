@@ -178,8 +178,10 @@ def bench_config_5(rng):
 def bench_stage_budget(rng, lumas):
     """Per-seam device-time split of the production 1080p carve: DP (find
     seam), apply (fused 3-buffer compaction), strip (energy update).  Each
-    stage loops 64x inside ONE jit with a data dependency so XLA cannot
-    hoist it (same methodology as scripts/profile_seam.py)."""
+    stage loops inside ONE jit with a data dependency so XLA cannot hoist
+    it; per-iteration time is DIFFERENTIAL — (t(2N) - t(N)) / N — so the
+    fixed per-dispatch tunnel/readback latency (~20-40 ms, comparable to a
+    whole 64-seam carve) cancels instead of inflating every stage."""
     import jax
     import jax.numpy as jnp
     from dct_carver_tpu.ops.carve import (
@@ -190,6 +192,8 @@ def bench_stage_budget(rng, lumas):
     from dct_carver_tpu.pallas.apply_kernel import (
         apply_seam_pallas, new_edge_value,
     )
+
+    import functools
 
     H, W = lumas[0].shape
     N = 64
@@ -202,32 +206,34 @@ def bench_stage_budget(rng, lumas):
 
     states = [jax.block_until_ready(prep(l)) for l in lumas[:3]]
 
-    def timeit(fn, reps=2):
-        fn(states[0])
+    def time_loop(fn, n, reps=2):
+        jfn = jax.jit(functools.partial(fn, n))
+        jfn(states[0])
         best = float("inf")
         for i in range(reps):
             s = states[(i + 1) % len(states)]
             t0 = time.perf_counter()
-            out = fn(s)
+            out = jfn(s)
             np.asarray(out)
             best = min(best, time.perf_counter() - t0)
-        return best / N * 1e3  # ms per iteration
+        return best
+
+    def per_iter_ms(fn):
+        return (time_loop(fn, 2 * N) - time_loop(fn, N)) / N * 1e3
 
     def fake_seam(i, s):
         return jnp.broadcast_to((i * 37) % (s.width - 1), (H,)).astype(jnp.int32)
 
-    @jax.jit
-    def loop_dp(state):
+    def loop_dp(n, state):
         def body(i, carry):
             e, acc = carry
             seam = find_seam_pallas(e, state.width)
             e = e.at[0, :].add(seam[0].astype(jnp.float32) * 1e-30)
             return (e, acc + seam[0])
-        _, acc = jax.lax.fori_loop(0, N, body, (state.energy, jnp.int32(0)))
+        _, acc = jax.lax.fori_loop(0, n, body, (state.energy, jnp.int32(0)))
         return acc
 
-    @jax.jit
-    def loop_apply(state):
+    def loop_apply(n, state):
         def body(i, s):
             seam = fake_seam(i, s)
             edge = new_edge_value(s.luma, seam, s.width)
@@ -235,23 +241,22 @@ def bench_stage_budget(rng, lumas):
                                            edge, s.width)
             return s._replace(luma=lm, origcol=oc, energy=en,
                               width=s.width - 1)
-        s = jax.lax.fori_loop(0, N, body, state)
+        s = jax.lax.fori_loop(0, n, body, state)
         return s.luma[0, 0] + s.energy[0, 0]
 
-    @jax.jit
-    def loop_strip(state):
+    def loop_strip(n, state):
         def body(i, s):
             seam = fake_seam(i, s)
             rec = (_recompute_strip_pallas if use_pallas_strip
                    else _recompute_strip)
             en = rec(s, seam, 8, 0.0, 1.0, 1)
             return s._replace(energy=en, width=s.width - 1)
-        s = jax.lax.fori_loop(0, N, body, state)
+        s = jax.lax.fori_loop(0, n, body, state)
         return s.energy[0, 0]
 
-    dp = timeit(loop_dp)
-    ap = timeit(loop_apply)
-    st = timeit(loop_strip)
+    dp = per_iter_ms(loop_dp)
+    ap = per_iter_ms(loop_apply)
+    st = per_iter_ms(loop_strip)
     return dp, ap, st
 
 

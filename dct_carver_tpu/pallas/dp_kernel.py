@@ -349,14 +349,191 @@ def _find_seam_cv(interpret: bool | None):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, E, width, lo):
+        from .batch_dp_kernel import find_seams_vec, vec_supported
+
         E_b, w_b, lo_b = in_batched
         if not E_b:
             E = jnp.broadcast_to(E[None], (axis_size, *E.shape))
         width = jnp.broadcast_to(jnp.asarray(width, jnp.int32), (axis_size,))
         lo = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (axis_size,))
+        B, H, W = E.shape
+        if vec_supported(B, H, W):
+            # batch packed into sublanes: one VPU recurrence step advances
+            # every image's DP row (serial chain H instead of B*H)
+            return find_seams_vec(E, width, lo, interpret=interpret), True
         return _fused_find_seam_batched(E, width, lo, interpret=interpret), True
 
     return f
+
+
+# --------------------------------------------- folded (sublane-packed) DP --
+#
+# The fused kernel's forward runs the row recurrence on (1, W) vectors: each
+# VPU op touches W/128 vregs at 1/8 sublane utilization, and the recurrence
+# is a LATENCY-bound dependent chain (~55% of the production seam time, see
+# bench stage budget).  Folding each row into (8, W/8) packs the same W
+# columns into full vregs, cutting the operand size (and the dependent-op
+# latency) ~8x.  The fold is a free row-major reshape; the cross-chunk
+# neighbor terms are one extra sublane roll + select per side.  Parents
+# stream to HBM in folded layout and reshape back (also free) for the
+# windowed backtrack kernel.
+
+FOLD = 8
+
+
+def _pick_row_block(H: int) -> int:
+    return next(s for s in (64, 56, 48, 40, 32, 24, 16, 8) if H % s == 0)
+
+
+def _make_folded_dp_kernel(R: int, F: int, Wf: int):
+    def kernel(wl_ref, e_ref, parents_ref, mlast_ref, carry):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (F, Wf), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (F, Wf), 1)
+        colids = sub * Wf + lane           # global column of (chunk, lane)
+        inf = jnp.float32(jnp.inf)
+        width = wl_ref[0]
+        lo = wl_ref[1]
+        in_win = (colids >= lo) & (colids < lo + width)
+        lane0 = lane == 0
+        laneL = lane == Wf - 1
+        first = lane0 & (sub == 0)         # global column 0
+        last = laneL & (sub == F - 1)      # global column W-1
+
+        @pl.when(b == 0)
+        def _():
+            # m0 = e0 + min(0,0,0) = e0 in every comparison (see above)
+            carry[:] = jnp.zeros((F, Wf), jnp.float32)
+
+        eblk = e_ref[:, :]                 # (R*F, Wf)
+        prev = carry[:]
+        pb = []
+        for r in range(R):                 # static image-rows per block
+            e_row = jnp.where(in_win, eblk[r * F:(r + 1) * F, :], inf)
+            # left neighbor (col-1): lane roll; lane 0 takes (chunk-1, Wf-1)
+            a = pltpu.roll(prev, 1, axis=1)
+            a2 = pltpu.roll(a, 1, axis=0)
+            left = jnp.where(first, inf, jnp.where(lane0, a2, a))
+            # right neighbor (col+1): lane Wf-1 takes (chunk+1, 0)
+            c = pltpu.roll(prev, Wf - 1, axis=1)
+            c2 = pltpu.roll(c, F - 1, axis=0)
+            right = jnp.where(last, inf, jnp.where(laneL, c2, c))
+            m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
+            p = jnp.where(
+                left <= prev,
+                jnp.where(left <= right, -1, 1),
+                jnp.where(prev <= right, 0, 1),
+            ).astype(jnp.int8)
+            prev = m
+            pb.append(p)
+        carry[:] = prev
+        parents_ref[:, :] = jnp.concatenate(pb, axis=0)
+
+        @pl.when(b == nb - 1)
+        def _():
+            mlast_ref[:, :] = carry[:]
+
+    return kernel
+
+
+def _make_window_bt_kernel(BR: int):
+    """Standalone windowed backtrack over (H, W) int8 parents: the seam
+    drifts <= 1 col/row, so each BR-row block walks a one-hot vector through
+    a 256-lane window (same math as the fused kernel's backtrack)."""
+
+    def kernel(jlast_ref, p_ref, seam_ref, jcarry):
+        g = pl.program_id(0)
+        BRr, W = p_ref.shape
+        narrow = W >= 256
+        CW = 256 if narrow else W
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
+
+        @pl.when(g == 0)
+        def _():
+            jcarry[0] = jlast_ref[0]
+
+        j = jcarry[0]
+        if narrow:
+            cb = jnp.clip(((j - BR) // 128) * 128, 0, W - 256)
+            cb = pl.multiple_of(cb, 128)
+            tile = p_ref[:, pl.ds(cb, 256)].astype(jnp.int32)
+        else:
+            cb = jnp.int32(0)
+            tile = p_ref[:, :].astype(jnp.int32)
+        o = (cols == j - cb).astype(jnp.int32)
+        ohs = []
+        for r in range(BR - 1, -1, -1):    # rows bottom-up, static
+            ohs.append(o)
+            pr = tile[r:r + 1, :]
+            o = (pltpu.roll(o * (pr == -1), CW - 1, axis=1)
+                 + o * (pr == 0)
+                 + pltpu.roll(o * (pr == 1), 1, axis=1))
+        oh = jnp.concatenate(ohs[::-1], axis=0)
+        js = jnp.max(oh * jnp.broadcast_to(cols, (BR, CW)), axis=1,
+                     keepdims=True)
+        seam_ref[:, :] = js + cb
+        jcarry[0] = jnp.max(o * (cols + cb))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _folded_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
+                      interpret: bool | None = None) -> jax.Array:
+    """Folded forward + windowed backtrack; decisions bitwise-identical to
+    `_fused_find_seam` (same op order and tie rules on the same values)."""
+    H, W = E.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    F = FOLD
+    Wf = W // F
+    R = _pick_row_block(H)
+    wl = jnp.stack([jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)])
+
+    parents_f, mlast_f = pl.pallas_call(
+        _make_folded_dp_kernel(R, F, Wf),
+        grid=(H // R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R * F, Wf), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R * F, Wf), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, Wf), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H * F, Wf), jnp.int8),
+            jax.ShapeDtypeStruct((F, Wf), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((F, Wf), jnp.float32)],
+        interpret=interpret,
+    )(wl, E.reshape(H * F, Wf))
+
+    parents = parents_f.reshape(H, W)      # free row-major unfold
+    mlast = mlast_f.reshape(1, W)
+    col = jnp.arange(W)
+    masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)
+    j_last = jnp.argmin(masked).astype(jnp.int32)  # leftmost min
+
+    BR = _pick_row_block(H)
+    seam2d = pl.pallas_call(
+        _make_window_bt_kernel(BR),
+        grid=(H // BR,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, W), lambda g: (H // BR - 1 - g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BR, 1), lambda g: (H // BR - 1 - g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 1), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(j_last.reshape(1), parents)
+    return seam2d[:, 0]
 
 
 # ------------------------------------------------------------------ driver --
