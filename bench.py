@@ -128,18 +128,32 @@ def bench_config_4(rng):
     exercises the flattened-batch (custom_vmap) Pallas kernels on Mosaic.
     (Batch scaled to fit one chip's HBM; BASELINE's 1024 images assume a pod.)"""
     import jax
-    from dct_carver_tpu.parallel.mesh import carve_batch
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dct_carver_tpu.parallel.mesh import carve_batch, make_mesh
 
     B, h, w = 16, 1024, 1024
-    imgs = rng.integers(0, 256, size=(B, h, w, 3), dtype=np.uint8)
-    _, vm = carve_batch(imgs, 128, reconstruct=False)  # compile + run
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P("data"))
+    # pre-stage distinct batches on device: a 50 MB host->device push over
+    # the tunnel costs 1-5 s with high variance and is NOT carve throughput
+    batches = [
+        jax.block_until_ready(jax.device_put(
+            jnp.asarray(rng.integers(0, 256, size=(B, h, w, 3),
+                                     dtype=np.uint8)), sharding))
+        for _ in range(2)
+    ]
+    _, vm = carve_batch(batches[0], 128, mesh=mesh, reconstruct=False)
     np.asarray(vm[0, 0, 0])  # block: the warmup must fully drain
-    t0 = time.perf_counter()
-    _, vm = carve_batch(imgs, 128, reconstruct=False)
-    np.asarray(vm[0, 0, 0])
-    t = time.perf_counter() - t0
-    v = B * h * w * 128 / t / 1e6
-    _log(f"# config4 batch {B}x1Mpix, 128 seams: {v:.1f} Mpix/s ({t:.2f} s) "
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        _, vm = carve_batch(batches[(i + 1) % 2], 128, mesh=mesh,
+                            reconstruct=False)
+        np.asarray(vm[0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    v = B * h * w * 128 / best / 1e6
+    _log(f"# config4 batch {B}x1Mpix, 128 seams: {v:.1f} Mpix/s ({best:.2f} s) "
          f"over {len(jax.devices())} device(s)")
     return v
 

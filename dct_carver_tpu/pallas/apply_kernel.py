@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dp_kernel import _interpret_default, pallas_supported
+from .dp_kernel import _interpret_default, pallas_supported, _pick_row_block
 
 __all__ = ["apply_seam_pallas", "apply_pallas_supported", "new_edge_value"]
 
@@ -37,6 +37,17 @@ ROW_BLOCK = 8
 
 def apply_pallas_supported(H: int, W: int) -> bool:
     return pallas_supported(H, W)
+
+
+def _apply_row_block(H: int, W: int) -> int:
+    """Rows per grid step: big blocks amortize the per-step grid/DMA setup
+    (dominant at batch scale: 2048 8-row steps -> 1.9 ms vs a 0.58 ms
+    traffic floor for config 4), bounded so 6 (R, W) f32 buffers stay well
+    inside VMEM."""
+    for R in (64, 56, 48, 40, 32, 24, 16, 8):
+        if H % R == 0 and 6 * R * W * 4 <= 6 * 1024 * 1024:
+            return R
+    return ROW_BLOCK
 
 
 def new_edge_value(luma: jax.Array, seam: jax.Array,
@@ -83,7 +94,8 @@ def _apply_seam_batched(luma, origcol, energy, seam, edge_new, width, *,
     B, H, W = luma.shape
     if interpret is None:
         interpret = _interpret_default()
-    nb = H // ROW_BLOCK
+    R = _apply_row_block(H, W)
+    nb = H // R
     grid = (B * nb,)
     blk = lambda g: (g, 0)
     out = pl.pallas_call(
@@ -91,16 +103,16 @@ def _apply_seam_batched(luma, origcol, energy, seam, edge_new, width, *,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROW_BLOCK, 1), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 1), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), blk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), blk, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, W), luma.dtype),

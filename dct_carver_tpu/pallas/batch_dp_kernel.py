@@ -45,11 +45,17 @@ def vec_supported(B: int, H: int, W: int) -> bool:
 
 
 def _make_vec_dp_kernel(B: int, R: int):
+    LANE = 128
+
     def kernel(wl_ref, e_ref, parents_ref, mlast_ref, carry):
+        # Carry rows widened by one 128-lane +inf dead tail so the lane
+        # rolls wrap through it — removes the two edge-masking selects from
+        # the latency-bound chain (see dp_kernel._fused_seam_body).
         b = pl.program_id(0)
         nb = pl.num_programs(0)
         W = e_ref.shape[1]
-        colids = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        W2 = W + LANE
+        colids = jax.lax.broadcasted_iota(jnp.int32, (B, W2), 1)
         inf = jnp.float32(jnp.inf)
         width = wl_ref[:, 0:1]   # (B, 1)
         lo = wl_ref[:, 1:2]
@@ -58,17 +64,17 @@ def _make_vec_dp_kernel(B: int, R: int):
         @pl.when(b == 0)
         def _():
             # m0 = e0 + min(0,0,0) = e0 in every comparison (dp_kernel.py)
-            carry[:] = jnp.zeros((B, W), jnp.float32)
+            carry[:] = jnp.zeros((B, W2), jnp.float32)
 
-        eblk = e_ref[:, :]                      # (R*B, W)
+        eblk = jnp.concatenate(
+            [e_ref[:, :], jnp.full((R * B, LANE), inf, jnp.float32)], axis=1
+        )                                       # (R*B, W2)
         prev = carry[:]
         pb = []
         for r in range(R):                      # static image-rows per block
             e_row = jnp.where(in_win, eblk[r * B:(r + 1) * B, :], inf)
             left = pltpu.roll(prev, 1, axis=1)
-            right = pltpu.roll(prev, W - 1, axis=1)   # == shift -1
-            left = jnp.where(colids == 0, inf, left)
-            right = jnp.where(colids == W - 1, inf, right)
+            right = pltpu.roll(prev, W2 - 1, axis=1)   # == shift -1
             m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
             p = jnp.where(
                 left <= prev,
@@ -76,13 +82,13 @@ def _make_vec_dp_kernel(B: int, R: int):
                 jnp.where(prev <= right, 0, 1),
             ).astype(jnp.int8)
             prev = m
-            pb.append(p)
+            pb.append(p[:, :W])
         carry[:] = prev
         parents_ref[:, :] = jnp.concatenate(pb, axis=0)
 
         @pl.when(b == nb - 1)
         def _():
-            mlast_ref[:, :] = carry[:]
+            mlast_ref[:, :] = carry[:, :W]
 
     return kernel
 
@@ -144,7 +150,7 @@ def find_seams_vec(E: jax.Array, width: jax.Array, lo: jax.Array, *,
             jax.ShapeDtypeStruct((H * B, W), jnp.int8),
             jax.ShapeDtypeStruct((B, W), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, W + 128), jnp.float32)],  # inf tail
         interpret=interpret,
     )(wl, E_t)
 

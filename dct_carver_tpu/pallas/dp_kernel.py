@@ -224,25 +224,35 @@ def _make_fused_seam_kernel(nb: int):
 
 def _fused_seam_body(b, nb, R, W, colids, inf, width, lo, in_win,
                      e_ref, seam_ref, parents, carry):
+    # The carry rows are WIDENED by one 128-lane group of permanent +inf
+    # dead columns (W2 = W + 128).  The lane rolls then wrap through that
+    # tail: left[0] = prev[W2-1] = inf and right[W2-1] lands in the dead
+    # region, so the two edge-masking selects that used to sit on the
+    # latency-bound dependent chain vanish — chain depth per row drops from
+    # 7 ops to 4 (roll || roll -> min -> min -> add).  Values for columns
+    # < W are bitwise-unchanged (rows >= 1 read the same +inf; row 0's
+    # parents are never consulted).
+    W2 = W + LANE
 
     # Zero-init instead of special-casing row 0: m0 = e0 + min(0, 0, 0) =
     # e0 + 0.0 — value-identical to e0 (only the sign of exact zeros can
     # differ, which no comparison downstream distinguishes), and row 0's
-    # parent is never consulted by the backtrack.  This removes two selects
-    # from every row's critical chain.
+    # parent is never consulted by the backtrack.
     @pl.when(b == 0)
     def _():
-        carry[:] = jnp.zeros((1, W), jnp.float32)
+        carry[:] = jnp.zeros((1, W2), jnp.float32)
 
-    eblk = e_ref[:, :]  # one block load; rows sliced statically below
+    colids2 = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+    in_win2 = (colids2 >= lo) & (colids2 < lo + width)
+    eblk = jnp.concatenate(
+        [e_ref[:, :], jnp.full((R, LANE), inf, jnp.float32)], axis=1
+    )  # one block load + tail; rows sliced statically below
     prev = carry[:]
     pb = []
     for r in range(R):  # static rows within the block
-        e_row = jnp.where(in_win, eblk[r : r + 1, :], inf)
+        e_row = jnp.where(in_win2, eblk[r : r + 1, :], inf)
         left = pltpu.roll(prev, 1, axis=1)
-        right = pltpu.roll(prev, W - 1, axis=1)  # == shift -1
-        left = jnp.where(colids == 0, inf, left)
-        right = jnp.where(colids == W - 1, inf, right)
+        right = pltpu.roll(prev, W2 - 1, axis=1)  # == shift -1
         m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
         p = jnp.where(
             left <= prev,
@@ -250,13 +260,13 @@ def _fused_seam_body(b, nb, R, W, colids, inf, width, lo, in_win,
             jnp.where(prev <= right, 0, 1),
         ).astype(jnp.int32)
         prev = m
-        pb.append(p.astype(jnp.int8))
+        pb.append(p[:, :W].astype(jnp.int8))
     carry[:] = prev
     parents[pl.ds(pl.multiple_of(b * R, 8), R), :] = jnp.concatenate(pb, axis=0)
 
     @pl.when(b == nb - 1)
     def _backtrack():
-        m_last = jnp.where(in_win, carry[:], inf)
+        m_last = jnp.where(in_win, carry[:, :W], inf)
         mn = jnp.min(m_last)
         big = jnp.int32(jnp.iinfo(jnp.int32).max)
         j0 = jnp.min(jnp.where(m_last == mn, colids, big))  # leftmost min
@@ -328,7 +338,7 @@ def _fused_find_seam_batched(E: jax.Array, width: jax.Array, lo: jax.Array, *,
         out_shape=jax.ShapeDtypeStruct((B * H, 1), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((H, W), jnp.int8),
-            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.VMEM((1, W + LANE), jnp.float32),  # widened inf tail
         ],
         interpret=interpret,
     )(wl, E.reshape(B * H, W))
@@ -545,15 +555,15 @@ def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
 
     Bitwise-identical decisions to mask_energy + cumulative_energy + backtrack
     in ops/dp.py (with lo=0).  Uses the fused single-kernel path when the
-    parents array fits VMEM; otherwise the two-kernel streamed path.
+    parents array fits VMEM; for larger images the folded forward (parents
+    stream to HBM, no size cap) + windowed backtrack.
     Composable with `jax.vmap` (batch lowers to one flattened kernel)."""
     H, W = E.shape
     if fused_seam_supported(H, W):
         return _find_seam_cv(interpret)(
             E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)
         )
-    parents, mlast = dp_forward(E, width, lo, interpret=interpret)
-    col = jnp.arange(W)
-    masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)
-    j_last = jnp.argmin(masked).astype(jnp.int32)  # leftmost min
-    return dp_backtrack(parents, j_last, interpret=interpret)
+    return _folded_find_seam(
+        E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32),
+        interpret=interpret,
+    )

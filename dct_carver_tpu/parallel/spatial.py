@@ -42,6 +42,7 @@ vs ~3*H for the per-row design (>30x fewer at 8K with K=32).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +54,8 @@ from ..ops.dct import energy_from_bands
 from ..ops.carve import _strip_bounds, _strip_block_dims, min_strip_width
 from .mesh import make_mesh
 
-__all__ = ["spatial_carve_n_seams", "SpatialCarveResult",
+__all__ = ["spatial_carve_n_seams", "spatial_make_state",
+           "SpatialCarveResult", "SpatialCarveState",
            "collectives_per_seam"]
 
 FRONTIER_BLOCK = 32  # rows per DP/backtrack collective exchange (K)
@@ -382,23 +384,56 @@ class SpatialCarveResult:
         self.image = image  # compacted (H, W[, C]); cols >= width are dead
 
 
+class SpatialCarveState(NamedTuple):
+    """Mid-carve sharded state (the checkpointable pytree; all (H, W)-shaped
+    leaves carry a NamedSharding over the column axis)."""
+    luma: jax.Array     # (H, W) f32, dead region edge-filled
+    image: jax.Array    # (H, W[, C]) carried channels, or (1, nsh) dummy
+    origcol: jax.Array  # (H, W) i32
+    vmap: jax.Array     # (H, W) i32, ORIGINAL coordinates
+    energy: jax.Array   # (H, W) f32
+    width: jax.Array    # () i32 logical width
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_seams", "blocksize", "mesh", "axis",
+    jax.jit, static_argnames=("blocksize", "mesh", "axis", "with_image")
+)
+def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
+                      with_image):
+    H, W = luma.shape
+
+    spec = P(None, axis)
+    energy = shard_map(
+        lambda l: _sharded_energy(l, blocksize, edges, textures, W, axis),
+        mesh=mesh, in_specs=(spec,), out_specs=spec,
+    )(luma)
+    origcol = jax.device_put(
+        jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W)),
+        NamedSharding(mesh, spec))
+    vmap0 = jax.device_put(jnp.zeros((H, W), jnp.int32),
+                           NamedSharding(mesh, spec))
+    return SpatialCarveState(luma, image, origcol, vmap0, energy,
+                             jnp.asarray(W, jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("count", "blocksize", "mesh", "axis",
                               "frontier_block", "strip_update", "with_image")
 )
-def _spatial_carve_jit(luma, image, n_seams, blocksize, edges, textures,
+def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                        mesh, axis, frontier_block, strip_update, with_image):
-    H, W = luma.shape
+    """Carve `count` seams starting at 1-based label seam_base+1."""
+    H, W = state.luma.shape
     nsh = mesh.shape[axis]
     Wl = W // nsh
     K = max(1, min(frontier_block, H))
 
-    def shard_fn(luma_l, img_l, origcol_l, vmap_l):
+    def shard_fn(luma_l, img_l, origcol_l, vmap_l, E_l, width0, base):
         idx = _axis_index(axis)
         lo = idx * Wl
 
-        def body(i, state):
-            luma_l, img_l, origcol_l, vmap_l, E_l, width = state
+        def body(i, st):
+            luma_l, img_l, origcol_l, vmap_l, E_l, width = st
             ext_M = _sharded_dp(E_l, width, K, axis)
             seam = _sharded_backtrack(ext_M, width, K, axis)  # (H,) global
 
@@ -416,7 +451,7 @@ def _spatial_carve_jit(luma, image, n_seams, blocksize, edges, textures,
             upd_cols = jnp.clip(oli, 0, Wl - 1)
             cur = vmap_l[rows, upd_cols]
             vmap_l = vmap_l.at[rows, upd_cols].set(
-                jnp.where(v_owned, i + 1, cur)
+                jnp.where(v_owned, base + i + 1, cur)
             )
 
             width = width - 1
@@ -436,26 +471,60 @@ def _spatial_carve_jit(luma, image, n_seams, blocksize, edges, textures,
                                       W, axis)
             return (luma_l, img_l, origcol_l, vmap_l, E_l, width)
 
-        E0 = _sharded_energy(luma_l, blocksize, edges, textures, W, axis)
-        width0 = jnp.asarray(W, jnp.int32)
-        state = (luma_l, img_l, origcol_l, vmap_l, E0, width0)
-        luma_l, img_l, origcol_l, vmap_l, E_l, width = jax.lax.fori_loop(
-            0, n_seams, body, state
-        )
-        return vmap_l, img_l, width[None]
+        st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
+        st = jax.lax.fori_loop(0, count, body, st)
+        return st[:5] + (st[5][None],)
 
     spec = P(None, axis)
-    img_spec = P(None, axis, None) if (with_image and image.ndim == 3) else spec
+    img_spec = (P(None, axis, None)
+                if (with_image and state.image.ndim == 3) else spec)
     shard = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec, img_spec, spec, spec),
-        out_specs=(spec, img_spec, P(axis)),
+        in_specs=(spec, img_spec, spec, spec, spec, P(axis), P(axis)),
+        out_specs=(spec, img_spec, spec, spec, spec, P(axis)),
     )
-    origcol = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W))
-    vmap0 = jnp.zeros((H, W), jnp.int32)
-    vmap, img, widths = shard(luma, image, origcol, vmap0)
-    return vmap, img, widths[0]
+    rep = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.int32), (nsh,))
+    luma, img, origcol, vmap, energy, widths = shard(
+        state.luma, state.image, state.origcol, state.vmap, state.energy,
+        rep(state.width), rep(seam_base),
+    )
+    return SpatialCarveState(luma, img, origcol, vmap, energy, widths[0])
+
+
+def spatial_make_state(
+    luma,
+    *,
+    blocksize: int = 8,
+    edges: float = 0.0,
+    textures: float = 1.0,
+    mesh: Mesh | None = None,
+    axis: str = "x",
+    image=None,
+):
+    """Shard the inputs over `mesh` and compute the initial sharded energy.
+    Returns (SpatialCarveState, mesh)."""
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis)
+    W = luma.shape[1]
+    nsh = mesh.shape[axis]
+    if W % nsh:
+        raise ValueError(f"width {W} not divisible by mesh size {nsh}")
+    luma = jax.device_put(
+        jnp.asarray(luma), NamedSharding(mesh, P(None, axis))
+    )
+    with_image = image is not None
+    if with_image:
+        image = jnp.asarray(image)
+        ispec = P(None, axis, None) if image.ndim == 3 else P(None, axis)
+        image = jax.device_put(image, NamedSharding(mesh, ispec))
+    else:
+        image = jax.device_put(
+            jnp.zeros((1, nsh), luma.dtype), NamedSharding(mesh, P(None, axis))
+        )  # placeholder, untouched
+    state = _spatial_init_jit(luma, image, blocksize, edges, textures,
+                              mesh, axis, with_image)
+    return state, mesh
 
 
 def spatial_carve_n_seams(
@@ -470,6 +539,9 @@ def spatial_carve_n_seams(
     frontier_block: int = FRONTIER_BLOCK,
     strip_update: bool = True,
     image=None,
+    chunk: int = 0,
+    checkpoint_dir: str | None = None,
+    resume_from: str | None = None,
 ) -> SpatialCarveResult:
     """Carve `n_seams` from one column-sharded image.  `luma` (H, W) with W
     divisible by the mesh size.  Returns the visibility map (original coords)
@@ -480,27 +552,48 @@ def spatial_carve_n_seams(
     < width live, sharded like the input), i.e. the sharded analog of
     `ops.carve.reconstruct_removed` without any gather.
     `frontier_block` (K): rows per DP/backtrack collective exchange —
-    `collectives_per_seam(H, K)` per seam instead of ~3H."""
+    `collectives_per_seam(H, K)` per seam instead of ~3H.
+    `chunk` > 0 runs the seam loop in chunks of that many seams, writing an
+    orbax sharded checkpoint to `checkpoint_dir` after each (multi-host
+    preemption recovery; `utils.checkpoint.save_sharded`); `resume_from`
+    restores one and continues."""
     if mesh is None:
         mesh = make_mesh(axis_name=axis)
     W = luma.shape[1]
-    nsh = mesh.shape[axis]
-    if W % nsh:
-        raise ValueError(f"width {W} not divisible by mesh size {nsh}")
     if W < min_strip_width(blocksize, 1, STRIP_ROWS):
         strip_update = False
-    luma = jax.device_put(
-        jnp.asarray(luma), NamedSharding(mesh, P(None, axis))
-    )
     with_image = image is not None
-    if with_image:
-        image = jnp.asarray(image)
-        ispec = P(None, axis, None) if image.ndim == 3 else P(None, axis)
-        image = jax.device_put(image, NamedSharding(mesh, ispec))
+
+    done = 0
+    if resume_from is not None:
+        from ..utils.checkpoint import load_sharded
+
+        state, meta = load_sharded(resume_from, mesh, axis,
+                                   SpatialCarveState)
+        done = int(meta["seams_done"])
+        if meta["n_seams_total"] != n_seams:
+            raise ValueError(
+                f"checkpoint was for {meta['n_seams_total']} seams, "
+                f"requested {n_seams}")
     else:
-        image = jnp.zeros((1, nsh), luma.dtype)  # placeholder, untouched
-    vmap, img, width = _spatial_carve_jit(
-        luma, image, n_seams, blocksize, edges, textures, mesh, axis,
-        frontier_block, strip_update, with_image
-    )
-    return SpatialCarveResult(vmap, width, img if with_image else None)
+        state, mesh = spatial_make_state(
+            luma, blocksize=blocksize, edges=edges, textures=textures,
+            mesh=mesh, axis=axis, image=image,
+        )
+
+    step = chunk if chunk > 0 else n_seams
+    while done < n_seams:
+        count = min(step, n_seams - done)
+        state = _spatial_chunk_jit(
+            state, jnp.int32(done), count, blocksize, edges, textures,
+            mesh, axis, frontier_block, strip_update, with_image,
+        )
+        state = jax.block_until_ready(state)
+        done += count
+        if checkpoint_dir is not None and done < n_seams:
+            from ..utils.checkpoint import save_sharded
+
+            save_sharded(checkpoint_dir, state,
+                         {"seams_done": done, "n_seams_total": n_seams})
+    return SpatialCarveResult(state.vmap, state.width,
+                              state.image if with_image else None)

@@ -22,9 +22,61 @@ import jax.numpy as jnp
 from ..ops.carve import CarveState
 from .config import CarverConfig
 
-__all__ = ["save_state", "load_state", "carve_resumable"]
+__all__ = ["save_state", "load_state", "carve_resumable",
+           "save_sharded", "load_sharded"]
 
 _FORMAT_VERSION = 1
+
+
+# ------------------------------------------------- sharded (orbax) format --
+
+def save_sharded(path: str, state, meta: dict) -> None:
+    """Checkpoint a MESH-SHARDED carve state (parallel.spatial
+    SpatialCarveState or any pytree of sharded arrays) with orbax.
+
+    Unlike `save_state`'s host-gathered .npz, each host writes only its own
+    shards (orbax OCDBT), so an 8K-panorama spatial carve on N hosts
+    checkpoints without materializing the image on one host."""
+    import os
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), state, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"version": _FORMAT_VERSION, **meta}, f)
+
+
+def load_sharded(path: str, mesh, axis: str, state_cls):
+    """Restore a sharded checkpoint onto `mesh` (columns on `axis`).
+    Returns (state, meta)."""
+    import os
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["version"] != _FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} unsupported")
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.join(path, "state"))
+    def put(name, x):
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return x
+        if name == "image" and x.ndim == 3:
+            spec = P(None, axis, None)
+        elif name == "image" and x.shape[0] == 1:
+            spec = P(None, axis)   # placeholder (1, nsh)
+        else:
+            spec = P(None, axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    fields = {k: put(k, v) for k, v in tree.items()}
+    return state_cls(**fields), meta
 
 
 def _config_to_jsonable(config: CarverConfig) -> dict:

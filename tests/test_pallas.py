@@ -65,3 +65,40 @@ def test_pallas_supported_gate():
     assert pallas_supported(1080, 1920)
     assert not pallas_supported(1080, 1000)  # W not lane-aligned
     assert not pallas_supported(37, 256)     # H not row-block aligned
+
+
+@pytest.mark.parametrize("width_frac", [1.0, 0.6, 0.13])
+def test_folded_find_seam_matches(width_frac, rng):
+    """The folded (sublane-packed) DP — the big-image path of
+    find_seam_pallas — must match the scan bitwise, including ties."""
+    from dct_carver_tpu.pallas.dp_kernel import _folded_find_seam
+
+    H, W = 40, 256
+    width = jnp.int32(max(2, int(W * width_frac)))
+    E = rng.random((H, W)).astype(np.float32)
+    got = _folded_find_seam(jnp.asarray(E), width, jnp.int32(0),
+                            interpret=True)
+    ref = _masked_find_seam(jnp.asarray(E), width)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    Eq = (rng.integers(0, 3, size=(H, W)) / 2.0).astype(np.float32)
+    got = _folded_find_seam(jnp.asarray(Eq), width, jnp.int32(0),
+                            interpret=True)
+    ref = _masked_find_seam(jnp.asarray(Eq), width)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_vec_batch_find_seams_matches(rng):
+    """The sublane-packed batch DP (batch_dp_kernel) must match the scan
+    per image for mixed widths, including ties."""
+    from dct_carver_tpu.pallas.batch_dp_kernel import find_seams_vec, vec_supported
+
+    B, H, W = 4, 24, 256
+    assert vec_supported(B, H, W)
+    E = rng.random((B, H, W)).astype(np.float32)
+    widths = jnp.asarray([W, 200, 131, 17], jnp.int32)
+    got = find_seams_vec(jnp.asarray(E), widths, jnp.zeros((B,), jnp.int32),
+                         interpret=True)
+    for i in range(B):
+        ref = _masked_find_seam(jnp.asarray(E[i]), widths[i])
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))

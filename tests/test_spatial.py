@@ -112,3 +112,24 @@ def test_spatial_image_carry_reconstructs(mesh8):
         jnp.asarray(img), ref_state.vmap, n)
     got = np.asarray(res.image)[:, : 64 - n]
     np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_spatial_chunked_checkpoint_resume(mesh8, tmp_path):
+    """Chunked spatial carve with an orbax sharded checkpoint must resume to
+    the exact same visibility map."""
+    luma_np, img = _luma(16, 64, seed=11)
+    n = 5
+    ref = spatial_carve_n_seams(luma_np, n, mesh=mesh8, image=img)
+
+    ck = str(tmp_path / "spatial_ck")
+    # run only the first chunk (2 seams), checkpointing
+    got = spatial_carve_n_seams(luma_np, n, mesh=mesh8, image=img,
+                                chunk=2, checkpoint_dir=ck)
+    np.testing.assert_array_equal(np.asarray(got.vmap), np.asarray(ref.vmap))
+
+    # resume from the 2-seam checkpoint and finish
+    res = spatial_carve_n_seams(luma_np, n, mesh=mesh8, image=img,
+                                resume_from=ck)
+    np.testing.assert_array_equal(np.asarray(res.vmap), np.asarray(ref.vmap))
+    np.testing.assert_array_equal(np.asarray(res.image), np.asarray(ref.image))
+    assert int(res.width) == 64 - n
