@@ -556,14 +556,35 @@ def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
     Bitwise-identical decisions to mask_energy + cumulative_energy + backtrack
     in ops/dp.py (with lo=0).  Uses the fused single-kernel path when the
     parents array fits VMEM; for larger images the folded forward (parents
-    stream to HBM, no size cap) + windowed backtrack.
+    stream to HBM, no size cap) + windowed backtrack — gated on the folded
+    lane dim (W // FOLD) staying 128-aligned (pltpu.roll on an unaligned
+    folded lane dim is unvalidated on Mosaic); otherwise the streamed
+    dp_forward + argmin + dp_backtrack path, which handles any W % 128 == 0.
     Composable with `jax.vmap` (batch lowers to one flattened kernel)."""
     H, W = E.shape
     if fused_seam_supported(H, W):
         return _find_seam_cv(interpret)(
             E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)
         )
-    return _folded_find_seam(
+    if (W // FOLD) % LANE == 0:
+        return _folded_find_seam(
+            E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32),
+            interpret=interpret,
+        )
+    return _streamed_find_seam(
         E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32),
         interpret=interpret,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _streamed_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
+                        interpret: bool | None = None) -> jax.Array:
+    """Fallback for big images whose folded lane dim is unaligned: streamed
+    forward (parents to HBM) + leftmost argmin + streamed backtrack."""
+    parents, mlast = dp_forward(E, width, lo, interpret=interpret)
+    W = E.shape[1]
+    col = jnp.arange(W)
+    masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)
+    j_last = jnp.argmin(masked).astype(jnp.int32)  # leftmost min
+    return dp_backtrack(parents, j_last, interpret=interpret)

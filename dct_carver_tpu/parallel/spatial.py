@@ -564,6 +564,16 @@ def spatial_carve_n_seams(
         strip_update = False
     with_image = image is not None
 
+    # carve parameters travel with the checkpoint and are validated on
+    # resume — resuming with different energy/DP parameters would silently
+    # produce mixed-parameter carves (same guard as utils.checkpoint's
+    # .npz load_state, which restores its full config)
+    params = {
+        "blocksize": int(blocksize), "edges": float(edges),
+        "textures": float(textures), "frontier_block": int(frontier_block),
+        "strip_update": bool(strip_update),
+    }
+
     done = 0
     if resume_from is not None:
         from ..utils.checkpoint import load_sharded
@@ -575,6 +585,12 @@ def spatial_carve_n_seams(
             raise ValueError(
                 f"checkpoint was for {meta['n_seams_total']} seams, "
                 f"requested {n_seams}")
+        mismatched = {k: (meta[k], v) for k, v in params.items()
+                      if k in meta and meta[k] != v}
+        if mismatched:
+            raise ValueError(
+                "checkpoint carve parameters do not match the resume "
+                f"request: {mismatched} (saved, requested)")
     else:
         state, mesh = spatial_make_state(
             luma, blocksize=blocksize, edges=edges, textures=textures,
@@ -594,6 +610,7 @@ def spatial_carve_n_seams(
             from ..utils.checkpoint import save_sharded
 
             save_sharded(checkpoint_dir, state,
-                         {"seams_done": done, "n_seams_total": n_seams})
+                         {"seams_done": done, "n_seams_total": n_seams,
+                          **params})
     return SpatialCarveResult(state.vmap, state.width,
                               state.image if with_image else None)

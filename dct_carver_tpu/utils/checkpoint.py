@@ -6,9 +6,13 @@ The reference persists only its 9 settings across invocations
 be split into chunks of seams with a durable snapshot between chunks —
 checkpoint-restart for the seam loop on preemptible TPU jobs.
 
-Format: a single .npz (portable; arrays this small need no orbax).  Sharded
-state is fetched to host before saving — a carve checkpoint is megabytes, so
-host gather is cheap and keeps one format everywhere.
+Two formats:
+  * single-device: one .npz (portable; arrays this small need no orbax);
+  * sharded (orbax): each host writes only its own shards (OCDBT), each
+    chunk commits atomically into its own step directory, and restore is
+    ABSTRACT (ShapeDtypeStruct targets with NamedShardings rebuilt from the
+    partition specs recorded at save time) so no host materializes the full
+    arrays.
 """
 
 from __future__ import annotations
@@ -25,33 +29,101 @@ from .config import CarverConfig
 __all__ = ["save_state", "load_state", "carve_resumable",
            "save_sharded", "load_sharded"]
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+_STEP_PREFIX = "state-"
 
 
 # ------------------------------------------------- sharded (orbax) format --
+
+def _leaf_specs(tree) -> dict:
+    """Map flattened-path key -> list-of-axis-names partition spec (or None
+    for replicated/unsharded leaves).  The specs travel WITH the checkpoint,
+    so restore re-shards any pytree without name-based guessing."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    out = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = jax.tree_util.keystr(kp)
+        spec = None
+        if hasattr(leaf, "sharding") and isinstance(leaf.sharding,
+                                                    NamedSharding):
+            spec = [
+                (list(e) if isinstance(e, tuple) else e)
+                for e in leaf.sharding.spec
+            ]
+        out[key] = spec
+    return out
+
+
+def _as_tree(state):
+    """NamedTuples save/restore as dicts keyed by field name (what orbax's
+    StandardCheckpointer does anyway for the values; doing it explicitly keeps
+    the spec keys and the restored structure consistent)."""
+    return state._asdict() if hasattr(state, "_asdict") else state
+
+
+def _step_dirs(path: str):
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    steps = []
+    for name in os.listdir(path):
+        if (name.startswith(_STEP_PREFIX) and ".orbax" not in name
+                and name[len(_STEP_PREFIX):].isdigit()):
+            steps.append((int(name[len(_STEP_PREFIX):]), name))
+    return sorted(steps)
+
 
 def save_sharded(path: str, state, meta: dict) -> None:
     """Checkpoint a MESH-SHARDED carve state (parallel.spatial
     SpatialCarveState or any pytree of sharded arrays) with orbax.
 
-    Unlike `save_state`'s host-gathered .npz, each host writes only its own
-    shards (orbax OCDBT), so an 8K-panorama spatial carve on N hosts
-    checkpoints without materializing the image on one host."""
+    Each host writes only its own shards (orbax OCDBT).  Atomicity: every
+    chunk saves into its own `state-{seams_done}` step directory (orbax
+    commits the directory by rename, so a preempted save never surfaces as a
+    restorable step), and the authoritative progress counter is the step
+    name — a stale side-car meta.json can never pair old progress with new
+    state.  Older steps are pruned only after the new one is committed.
+    `meta` must carry `seams_done`; carve parameters in `meta` are validated
+    on resume by the caller (parallel.spatial)."""
     import os
+    import shutil
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    step = int(meta["seams_done"])
+    tree = _as_tree(state)
+    meta_full = {
+        "version": _FORMAT_VERSION,
+        "shardings": _leaf_specs(tree),
+        **{k: v for k, v in meta.items()},
+    }
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state, force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"version": _FORMAT_VERSION, **meta}, f)
+        ckptr.save(os.path.join(path, f"{_STEP_PREFIX}{step:08d}"), tree)
+    # meta.json is static per run (progress lives in the step name); write
+    # via tmp + atomic replace so readers never see a torn file
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta_full, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    for s, name in _step_dirs(path):
+        if s != step:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
-def load_sharded(path: str, mesh, axis: str, state_cls):
-    """Restore a sharded checkpoint onto `mesh` (columns on `axis`).
-    Returns (state, meta)."""
+def load_sharded(path: str, mesh, axis: str = None, state_cls=None):
+    """Restore the newest committed step of a sharded checkpoint onto `mesh`.
+    Returns (state, meta); meta["seams_done"] comes from the committed step
+    name (never from the side-car file).  Restore is abstract: orbax reads
+    each leaf directly into the NamedSharding recorded at save time, so each
+    host touches only its own shards.  `axis` is unused (kept for signature
+    compatibility); the sharding rule is the saved per-leaf partition spec,
+    not field names."""
     import os
     import jax
+    from etils import epath
     from jax.sharding import NamedSharding, PartitionSpec as P
     import orbax.checkpoint as ocp
 
@@ -60,23 +132,31 @@ def load_sharded(path: str, mesh, axis: str, state_cls):
         meta = json.load(f)
     if meta["version"] != _FORMAT_VERSION:
         raise ValueError(f"checkpoint version {meta['version']} unsupported")
+    steps = _step_dirs(path)
+    if not steps:
+        raise FileNotFoundError(f"no committed checkpoint step under {path}")
+    step, name = steps[-1]
+    meta["seams_done"] = step
+    specs = meta.pop("shardings")
 
+    step_path = os.path.join(path, name)
     with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.join(path, "state"))
-    def put(name, x):
-        x = jnp.asarray(x)
-        if x.ndim == 0:
-            return x
-        if name == "image" and x.ndim == 3:
-            spec = P(None, axis, None)
-        elif name == "image" and x.shape[0] == 1:
-            spec = P(None, axis)   # placeholder (1, nsh)
-        else:
-            spec = P(None, axis)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        md = ckptr.handler.metadata(epath.Path(step_path))
 
-    fields = {k: put(k, v) for k, v in tree.items()}
-    return state_cls(**fields), meta
+        def target(kp, m):
+            spec = specs.get(jax.tree_util.keystr(kp))
+            pspec = P() if spec is None else P(
+                *[tuple(e) if isinstance(e, list) else e for e in spec])
+            return jax.ShapeDtypeStruct(
+                tuple(m.shape), m.dtype,
+                sharding=NamedSharding(mesh, pspec))
+
+        abstract = jax.tree_util.tree_map_with_path(
+            target, md, is_leaf=lambda n: hasattr(n, "shape"))
+        tree = ckptr.restore(step_path, abstract)
+    if state_cls is not None:
+        return state_cls(**tree), meta
+    return tree, meta
 
 
 def _config_to_jsonable(config: CarverConfig) -> dict:
@@ -118,7 +198,7 @@ def load_state(path: str):
     """Returns (CarveState, CarverConfig, seams_done, n_seams_total)."""
     z = np.load(path)
     meta = json.loads(bytes(z["meta"]).decode())
-    if meta["version"] != _FORMAT_VERSION:
+    if meta["version"] not in (1, _FORMAT_VERSION):
         raise ValueError(f"checkpoint version {meta['version']} unsupported")
     state = CarveState(
         luma=jnp.asarray(z["luma"]),

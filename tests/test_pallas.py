@@ -102,3 +102,36 @@ def test_vec_batch_find_seams_matches(rng):
     for i in range(B):
         ref = _masked_find_seam(jnp.asarray(E[i]), widths[i])
         np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+
+
+def test_streamed_find_seam_matches(rng):
+    """The streamed fallback (dp_forward + argmin + dp_backtrack) — the
+    big-image path when the folded lane dim is NOT 128-aligned — must match
+    the scan bitwise, including ties."""
+    from dct_carver_tpu.pallas.dp_kernel import _streamed_find_seam
+
+    H, W = 40, 384  # W // FOLD == 48, not a multiple of 128
+    for make in (lambda: rng.random((H, W)).astype(np.float32),
+                 lambda: (rng.integers(0, 3, size=(H, W)) / 2.0
+                          ).astype(np.float32)):
+        E = make()
+        for width in (W, 250):
+            got = _streamed_find_seam(jnp.asarray(E), jnp.int32(width),
+                                      jnp.int32(0), interpret=True)
+            ref = _masked_find_seam(jnp.asarray(E), jnp.int32(width))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_find_seam_big_image_dispatch(rng, monkeypatch):
+    """Above the fused VMEM cap, aligned folds use the folded kernel and
+    unaligned folds fall back to the streamed path — both matching scan."""
+    from dct_carver_tpu.pallas import dp_kernel
+
+    monkeypatch.setattr(dp_kernel, "MAX_FUSED_PARENT_BYTES", 0)
+    H = 16
+    for W in (1024, 384):  # W//FOLD = 128 (folded) and 48 (streamed)
+        E = rng.random((H, W)).astype(np.float32)
+        got = dp_kernel.find_seam_pallas(jnp.asarray(E), jnp.int32(W),
+                                         interpret=True)
+        ref = _masked_find_seam(jnp.asarray(E), jnp.int32(W))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -133,3 +133,50 @@ def test_spatial_chunked_checkpoint_resume(mesh8, tmp_path):
     np.testing.assert_array_equal(np.asarray(res.vmap), np.asarray(ref.vmap))
     np.testing.assert_array_equal(np.asarray(res.image), np.asarray(ref.image))
     assert int(res.width) == 64 - n
+
+
+def test_spatial_resume_param_mismatch_raises(mesh8, tmp_path):
+    """Resuming with different carve parameters must be rejected — a silent
+    mixed-parameter carve is worse than an error."""
+    luma_np, _ = _luma(16, 64, seed=13)
+    ck = str(tmp_path / "ck")
+    spatial_carve_n_seams(luma_np, 4, mesh=mesh8, chunk=2,
+                          checkpoint_dir=ck, edges=0.3, textures=0.7)
+    with pytest.raises(ValueError, match="parameter"):
+        spatial_carve_n_seams(luma_np, 4, mesh=mesh8, resume_from=ck,
+                              edges=0.9, textures=0.1)
+
+
+def test_sharded_checkpoint_atomic_progress(mesh8, tmp_path):
+    """The progress counter is the committed step directory name, never the
+    side-car meta.json — a preemption between the state write and the meta
+    write cannot pair stale progress with new state."""
+    import json
+    import os
+
+    from dct_carver_tpu.parallel.spatial import spatial_make_state
+    from dct_carver_tpu.utils.checkpoint import load_sharded, save_sharded
+    from dct_carver_tpu.parallel.spatial import SpatialCarveState
+
+    luma_np, _ = _luma(16, 64, seed=17)
+    state, mesh = spatial_make_state(luma_np, mesh=mesh8)
+    ck = str(tmp_path / "ck")
+    save_sharded(ck, state, {"seams_done": 2, "n_seams_total": 6})
+    save_sharded(ck, state, {"seams_done": 4, "n_seams_total": 6})
+
+    # simulate a preemption that left meta.json stale (older seams_done)
+    with open(os.path.join(ck, "meta.json")) as f:
+        meta = json.load(f)
+    meta["seams_done"] = 2
+    with open(os.path.join(ck, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    restored, meta2 = load_sharded(ck, mesh, "x", SpatialCarveState)
+    assert meta2["seams_done"] == 4  # from the committed step, not the file
+    # old steps are pruned; exactly one committed step remains
+    steps = [n for n in os.listdir(ck) if n.startswith("state-")]
+    assert steps == ["state-00000004"]
+    # restored leaves carry the same shardings as the live state
+    assert restored.luma.sharding == state.luma.sharding
+    np.testing.assert_array_equal(np.asarray(restored.luma),
+                                  np.asarray(state.luma))
