@@ -90,6 +90,7 @@ def save_sharded(path: str, state, meta: dict) -> None:
     on resume by the caller (parallel.spatial)."""
     import os
     import shutil
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -100,17 +101,20 @@ def save_sharded(path: str, state, meta: dict) -> None:
         "shardings": _leaf_specs(tree),
         **{k: v for k, v in meta.items()},
     }
+    # the orbax save is a collective: every process calls it, each writing
+    # only its own shards; it returns after the commit rename
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, f"{_STEP_PREFIX}{step:08d}"), tree)
-    # meta.json is static per run (progress lives in the step name); write
-    # via tmp + atomic replace so readers never see a torn file
-    tmp = os.path.join(path, ".meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta_full, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
-    for s, name in _step_dirs(path):
-        if s != step:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    if jax.process_index() == 0:
+        # meta.json is static per run (progress lives in the step name);
+        # tmp + atomic replace so readers never see a torn file
+        tmp = os.path.join(path, ".meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta_full, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+        for s, name in _step_dirs(path):
+            if s != step:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def load_sharded(path: str, mesh, axis: str = None, state_cls=None):
