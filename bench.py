@@ -18,10 +18,20 @@ Run: python bench.py              headline + budget + configs 1-5
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# 8 virtual CPU host devices alongside the TPU: config 5 compiles its seam
+# step for an 8-way CPU mesh to MEASURE the collective count in the HLO
+# (the 1-chip TPU mesh degenerates to zero collectives)
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 
 def _mk_lumas(rng, h, w, k=4, channels=3):
@@ -184,8 +194,24 @@ def bench_config_5(rng):
     t = time.perf_counter() - t0
     v = h * w * n / t / 1e6
     coll = collectives_per_seam(h)
+    # measured (not computed) collective count: compile one unrolled seam
+    # step for an 8-way CPU mesh and count collective ops in the HLO
+    try:
+        from jax.sharding import Mesh
+        from dct_carver_tpu.parallel.spatial import (
+            measure_collectives_per_seam,
+        )
+
+        cpu8 = jax.devices("cpu")[:8]
+        m = measure_collectives_per_seam(
+            h, w, Mesh(np.array(cpu8), ("x",)))
+        meas = (f"measured {m['total']}/seam in 8-way HLO "
+                f"({', '.join(f'{k}={v2}' for k, v2 in m['by_op'].items())})")
+    except Exception as e:
+        meas = f"HLO measurement failed: {type(e).__name__}"
     _log(f"# config5 8K spatial ({nsh} shard(s), {n} seams): {v:.1f} Mpix/s "
-         f"({t:.2f} s); {coll} collectives/seam (vs {3*h} per-row design)")
+         f"({t:.2f} s); {meas}; designed {coll}/seam "
+         f"(vs {3*h} per-row design)")
     return v
 
 
@@ -314,6 +340,17 @@ def main():
          f"({seams} seams in {t*1e3:.1f} ms, {t/seams*1e3:.3f} ms/seam)")
 
     if not quick and not headline_only:
+        try:
+            # dispatch-overhead check: same carve at 2x seams — if per-seam
+            # time falls toward the stage-budget sum, the 64-seam headline's
+            # gap is fixed tunnel dispatch amortized over seams (ROADMAP)
+            _, t2 = _time_carve(lumas, 2 * seams, 8, strip_update=True,
+                                repeats=2)
+            _log(f"# dispatch check: {2*seams} seams in {t2*1e3:.1f} ms -> "
+                 f"{t2/(2*seams)*1e3:.3f} ms/seam (vs {t/seams*1e3:.3f} at "
+                 f"{seams}; fixed overhead ~{(2*t - t2)*1e3:.0f} ms)")
+        except Exception as e:
+            _log(f"# dispatch check failed: {e}")
         try:
             dp, ap, st = bench_stage_budget(rng, lumas)
             _log(f"# stage budget per seam: dp={dp:.3f} ms apply={ap:.3f} ms "

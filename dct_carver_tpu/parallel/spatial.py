@@ -168,7 +168,7 @@ def _sharded_energy(local_luma, blocksize, edges, textures, W, axis):
 
 # -------------------------------------------------------------------- DP ----
 
-def _sharded_dp(E_local, width, K: int, axis):
+def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False):
     """Blocked sharded cumulative energy.  E_local (H, Wl) f32 (unmasked);
     returns ext_M (H, We) with We = Wl + 4K (halo Hh = 2K columns per side;
     ext column e holds global column lo - 2K + e).
@@ -210,7 +210,7 @@ def _sharded_dp(E_local, width, K: int, axis):
     chunks = []
     if nfull:
         prev, Ms = jax.lax.scan(block, prev, E_local[:nfull * K]
-                                .reshape(nfull, K, Wl))
+                                .reshape(nfull, K, Wl), unroll=unroll)
         chunks.append(Ms.reshape(nfull * K, We))
     if rem:
         _, Ms_r = block(prev, E_local[nfull * K:])
@@ -251,7 +251,7 @@ def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis):
     return jax.lax.psum(seg_g, axis)
 
 
-def _sharded_backtrack(ext_M, width, K: int, axis):
+def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False):
     """Global leftmost-min backtrack over the blocked sharded M.
     Returns (H,) global seam columns, replicated on every shard."""
     H, We = ext_M.shape
@@ -291,7 +291,8 @@ def _sharded_backtrack(ext_M, width, K: int, axis):
                 return seg[0], seg
 
             bs = jnp.arange(nfull - 1, 0, -1)
-            j, seg_stack = jax.lax.scan(chunk, j, bs)  # (nfull-1, K)
+            j, seg_stack = jax.lax.scan(chunk, j, bs,
+                                        unroll=unroll)  # (nfull-1, K)
             segs.append(seg_stack[::-1].reshape((nfull - 1) * K))
         # block-0 chunk: rows [0, K-1)
         seg0 = _seg_walk(ext_M[: K - 1], j, Wl, K, axis)
@@ -375,6 +376,114 @@ def _sharded_edge_fill(local_luma, width, axis):
     return jnp.where(col_g < width, local_luma, edge[:, None])
 
 
+# ------------------------------------------------------------- seam step ----
+
+def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
+                       Wl: int, K: int, strip_update: bool, with_image: bool,
+                       axis, unroll: bool = False):
+    """One full sharded seam: DP -> backtrack -> vmap record -> compaction ->
+    energy update.  `st` is the 6-tuple of per-shard state; `label` is the
+    1-based seam number written into the visibility map.  `unroll=True`
+    unrolls the collective-bearing block scans (used by
+    `measure_collectives_per_seam` so static HLO op count == dynamic count;
+    the per-row scans carry no collectives and stay rolled)."""
+    luma_l, img_l, origcol_l, vmap_l, E_l, width = st
+    H = luma_l.shape[0]
+    idx = _axis_index(axis)
+    lo = idx * Wl
+
+    ext_M = _sharded_dp(E_l, width, K, axis, unroll=unroll)
+    seam = _sharded_backtrack(ext_M, width, K, axis, unroll=unroll)  # (H,)
+
+    # record the seam at original coordinates
+    li = seam - lo
+    rows = jnp.arange(H)
+    owned = (li >= 0) & (li < Wl)
+    orig = jnp.where(owned, origcol_l[rows, jnp.clip(li, 0, Wl - 1)], 0)
+    orig = jax.lax.psum(orig, axis)  # global original column (H,)
+    # scatter into the vmap shard that owns each original column
+    oli = orig - lo
+    v_owned = (oli >= 0) & (oli < Wl)
+    upd_cols = jnp.clip(oli, 0, Wl - 1)
+    cur = vmap_l[rows, upd_cols]
+    vmap_l = vmap_l.at[rows, upd_cols].set(jnp.where(v_owned, label, cur))
+
+    width = width - 1
+    luma_l = _sharded_edge_fill(
+        _sharded_remove(luma_l, seam, axis), width, axis
+    )
+    origcol_l = _sharded_remove(origcol_l, seam, axis)
+    if with_image:
+        img_l = _sharded_remove(img_l, seam, axis)
+    if strip_update:
+        E_l = _sharded_strip_update(
+            luma_l, _sharded_remove(E_l, seam, axis), seam,
+            blocksize, edges, textures, W, axis,
+        )
+    else:
+        E_l = _sharded_energy(luma_l, blocksize, edges, textures, W, axis)
+    return (luma_l, img_l, origcol_l, vmap_l, E_l, width)
+
+
+def measure_collectives_per_seam(
+    H: int,
+    W: int,
+    mesh: Mesh | None = None,
+    axis: str = "x",
+    *,
+    blocksize: int = 8,
+    edges: float = 0.0,
+    textures: float = 1.0,
+    frontier_block: int = FRONTIER_BLOCK,
+    strip_update: bool = True,
+):
+    """MEASURED collective count per carved seam: compile one unrolled seam
+    step through the real shard_map lowering and count the collective ops in
+    the optimized HLO.  Unlike `collectives_per_seam` (arithmetic over the
+    design), this catches any collectives the partitioner inserts or merges.
+    Returns {"total": n, "by_op": {...}, "designed": collectives_per_seam}.
+    """
+    import re
+
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis)
+    nsh = mesh.shape[axis]
+    if W % nsh:
+        raise ValueError(f"width {W} not divisible by mesh size {nsh}")
+    Wl = W // nsh
+    K = max(1, min(frontier_block, H))
+    spec = P(None, axis)
+
+    def shard_fn(luma_l, origcol_l, vmap_l, E_l, width0):
+        img_l = jnp.zeros((1, 1), jnp.float32)
+        st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
+        out = _spatial_seam_step(st, jnp.int32(1), blocksize, edges,
+                                 textures, W, Wl, K, strip_update, False,
+                                 axis, unroll=True)
+        return out[0], out[2], out[3], out[4], out[5][None]
+
+    f = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P(axis)),
+        out_specs=(spec, spec, spec, spec, P(axis)),
+    ))
+    f32 = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((H, W), jnp.int32)
+    w0 = jax.ShapeDtypeStruct((nsh,), jnp.int32)
+    txt = f.lower(f32, i32, i32, f32, w0).compile().as_text()
+
+    ops = ("collective-permute", "all-reduce", "all-gather", "all-to-all",
+           "reduce-scatter")
+    by_op = {
+        op: len(re.findall(rf"\b{op}(?:-start)?\(", txt)) for op in ops
+    }
+    return {
+        "total": sum(by_op.values()),
+        "by_op": {k: v for k, v in by_op.items() if v},
+        "designed": collectives_per_seam(H, K),
+    }
+
+
 # --------------------------------------------------------------- driver -----
 
 class SpatialCarveResult:
@@ -429,47 +538,11 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
     K = max(1, min(frontier_block, H))
 
     def shard_fn(luma_l, img_l, origcol_l, vmap_l, E_l, width0, base):
-        idx = _axis_index(axis)
-        lo = idx * Wl
-
         def body(i, st):
-            luma_l, img_l, origcol_l, vmap_l, E_l, width = st
-            ext_M = _sharded_dp(E_l, width, K, axis)
-            seam = _sharded_backtrack(ext_M, width, K, axis)  # (H,) global
-
-            # record the k-th seam at original coordinates
-            li = seam - lo
-            rows = jnp.arange(H)
-            owned = (li >= 0) & (li < Wl)
-            orig = jnp.where(
-                owned, origcol_l[rows, jnp.clip(li, 0, Wl - 1)], 0
+            return _spatial_seam_step(
+                st, base + i + 1, blocksize, edges, textures, W, Wl, K,
+                strip_update, with_image, axis,
             )
-            orig = jax.lax.psum(orig, axis)  # global original column (H,)
-            # scatter into the vmap shard that owns each original column
-            oli = orig - lo
-            v_owned = (oli >= 0) & (oli < Wl)
-            upd_cols = jnp.clip(oli, 0, Wl - 1)
-            cur = vmap_l[rows, upd_cols]
-            vmap_l = vmap_l.at[rows, upd_cols].set(
-                jnp.where(v_owned, base + i + 1, cur)
-            )
-
-            width = width - 1
-            luma_l = _sharded_edge_fill(
-                _sharded_remove(luma_l, seam, axis), width, axis
-            )
-            origcol_l = _sharded_remove(origcol_l, seam, axis)
-            if with_image:
-                img_l = _sharded_remove(img_l, seam, axis)
-            if strip_update:
-                E_l = _sharded_strip_update(
-                    luma_l, _sharded_remove(E_l, seam, axis), seam,
-                    blocksize, edges, textures, W, axis,
-                )
-            else:
-                E_l = _sharded_energy(luma_l, blocksize, edges, textures,
-                                      W, axis)
-            return (luma_l, img_l, origcol_l, vmap_l, E_l, width)
 
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
         st = jax.lax.fori_loop(0, count, body, st)

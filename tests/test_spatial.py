@@ -180,3 +180,18 @@ def test_sharded_checkpoint_atomic_progress(mesh8, tmp_path):
     assert restored.luma.sharding == state.luma.sharding
     np.testing.assert_array_equal(np.asarray(restored.luma),
                                   np.asarray(state.luma))
+
+
+@pytest.mark.parametrize("hwk", [(32, 512, 8), (48, 1024, 16)])
+def test_measured_collectives_match_design(mesh8, hwk):
+    """The collective count in the COMPILED HLO of one seam step must match
+    the designed budget — catches any collectives a shard_map lowering or
+    the partitioner quietly inserts (or merges)."""
+    from dct_carver_tpu.parallel.spatial import measure_collectives_per_seam
+
+    H, W, K = hwk
+    m = measure_collectives_per_seam(H, W, mesh8, frontier_block=K)
+    assert m["total"] == m["designed"], m
+    # the design uses only ppermute + psum/pmin: no all-gathers or
+    # all-to-alls may appear
+    assert set(m["by_op"]) <= {"collective-permute", "all-reduce"}, m
