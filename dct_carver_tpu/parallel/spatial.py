@@ -51,6 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.dct import energy_from_bands
+from ..ops.dp import _rigidity_penalties, _shift_row
 from ..ops.carve import _strip_bounds, _strip_block_dims, min_strip_width
 from .mesh import make_mesh
 
@@ -168,24 +169,31 @@ def _sharded_energy(local_luma, blocksize, edges, textures, W, axis):
 
 # -------------------------------------------------------------------- DP ----
 
-def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False):
+def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
+                delta_x: int = 1, rigidity: float = 0.0):
     """Blocked sharded cumulative energy.  E_local (H, Wl) f32 (unmasked);
-    returns ext_M (H, We) with We = Wl + 4K (halo Hh = 2K columns per side;
-    ext column e holds global column lo - 2K + e).
+    returns ext_M (H, We) with We = Wl + 4·K·delta_x (halo Hh = 2·K·delta_x
+    columns per side; ext column e holds global column lo - Hh + e).
 
-    Trapezoid exactness (delta_x=1): the frontier/energy halos are exchanged
-    EXACTLY once per K-row block, so after t local scan steps ext positions
-    [t+1, We-2-t] hold the true global M.  The owned slice [2K, 2K+Wl) is
-    always exact; the extra halo width (2K instead of K+1) is what the
-    blocked backtrack needs (see `_sharded_backtrack`)."""
+    Trapezoid exactness: the frontier/energy halos are exchanged EXACTLY
+    once per K-row block and the seam recurrence moves <= delta_x
+    columns/row, so after t local scan steps ext positions
+    [t·delta_x + 1, We - 2 - t·delta_x] hold the true global M.  The owned
+    slice [Hh, Hh + Wl) is always exact; the extra halo width (2·K·delta_x
+    instead of K·delta_x + 1) is what the blocked backtrack needs (see
+    `_sharded_backtrack`).  The recurrence mirrors ops.dp.cumulative_energy
+    (same candidate fold order and rigidity penalties, so seams stay
+    bitwise-identical to the single-device path)."""
     idx = _axis_index(axis)
     H, Wl = E_local.shape
-    Hh = 2 * K
+    d = delta_x
+    Hh = 2 * K * d
     We = Wl + 2 * Hh
     lo = idx * Wl
     inf = jnp.float32(jnp.inf)
     col_g = lo - Hh + jnp.arange(We)
     valid = (col_g >= 0) & (col_g < width)
+    pen = _rigidity_penalties(d, rigidity, jnp.float32)
 
     def block(prev, E_blk):
         # one ppermute pair ships the frontier row + the K-row energy block
@@ -195,10 +203,14 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False):
         ext_E = jnp.where(valid[None, :], ext[1:], inf)
 
         def row(prev_e, e_row):
-            left = jnp.concatenate([jnp.full((1,), inf), prev_e[:-1]])
-            right = jnp.concatenate([prev_e[1:], jnp.full((1,), inf)])
-            # same op order as ops/dp.py: E + min(min(left, center), right)
-            m = e_row + jnp.minimum(jnp.minimum(left, prev_e), right)
+            # same candidate order + op fold as ops/dp.py cumulative_energy
+            best = None
+            for k2, dx in enumerate(range(-d, d + 1)):
+                cand = _shift_row(prev_e, dx, inf)
+                if pen[k2] != 0.0:
+                    cand = cand + jnp.float32(pen[k2])
+                best = cand if best is None else jnp.minimum(best, cand)
+            m = e_row + best
             return m, m
 
         _, Ms = jax.lax.scan(row, ext_prev, ext_E)     # (Kb, We)
@@ -220,42 +232,52 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False):
 
 # -------------------------------------------------------------- backtrack ---
 
-def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis):
+def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
+              delta_x: int = 1, rigidity: float = 0.0):
     """Walk one backtrack segment locally on the owner shard of `j_bottom`,
     then broadcast it.  ext_M_rows: (Kb, We) rows [s-1, e-1) of ext_M;
     j_bottom: () i32 global seam column at row e-1 (replicated).  Returns
     (Kb,) global seam columns for rows [s-1, e-1), replicated.
 
-    The seam drifts <= 1 col/row, so the whole segment lies in the +-K-column
-    window around j_bottom, which the owner's 2K halo covers exactly (the
-    needed cells sit inside the trapezoid-exact region — see _sharded_dp)."""
+    The seam drifts <= delta_x col/row, so the whole segment lies in the
+    ±K·delta_x-column window around j_bottom, which the owner's 2·K·delta_x
+    halo covers exactly (the needed cells sit inside the trapezoid-exact
+    region — see _sharded_dp).  Step rule mirrors ops.dp.backtrack
+    (penalized window, leftmost argmin)."""
     Kb = ext_M_rows.shape[0]
+    d = delta_x
     idx = _axis_index(axis)
     lo = idx * Wl
-    Hh = 2 * K
+    Hh = 2 * K * d
     We = ext_M_rows.shape[1]
     owned = (j_bottom >= lo) & (j_bottom < lo + Wl)
-    wstart = jnp.clip(j_bottom - lo + Hh - K, 0, We - (2 * K + 1))
-    win = jax.lax.dynamic_slice(ext_M_rows, (0, wstart), (Kb, 2 * K + 1))
-    winp = jnp.pad(win, ((0, 0), (1, 1)), constant_values=jnp.inf)
+    wstart = jnp.clip(j_bottom - lo + Hh - K * d, 0, We - (2 * K * d + 1))
+    win = jax.lax.dynamic_slice(ext_M_rows, (0, wstart), (Kb, 2 * K * d + 1))
+    winp = jnp.pad(win, ((0, 0), (d, d)), constant_values=jnp.inf)
+    pen = jnp.asarray(_rigidity_penalties(d, rigidity, jnp.float32),
+                      jnp.float32)
 
     def step(jl, row_p):
-        # padded 3-window [jl-1, jl, jl+1]; leftmost-min tie (ops.dp.backtrack)
-        w3 = jax.lax.dynamic_slice(row_p, (jl,), (3,))
-        jn = jl - 1 + jnp.argmin(w3).astype(jnp.int32)
+        # padded (2d+1)-window [jl-d .. jl+d]; leftmost-min tie
+        wd = jax.lax.dynamic_slice(row_p, (jl,), (2 * d + 1,))
+        if rigidity != 0.0:
+            wd = wd + pen
+        jn = jl - d + jnp.argmin(wd).astype(jnp.int32)
         return jn, jn
 
-    _, seg_rev = jax.lax.scan(step, _pvary(jnp.int32(K), axis), winp[::-1])
-    seg_g = seg_rev[::-1] + (j_bottom - K)             # rows [s-1, e-1)
+    _, seg_rev = jax.lax.scan(step, _pvary(jnp.int32(K * d), axis),
+                              winp[::-1])
+    seg_g = seg_rev[::-1] + (j_bottom - K * d)         # rows [s-1, e-1)
     seg_g = jnp.where(owned, seg_g, 0)
     return jax.lax.psum(seg_g, axis)
 
 
-def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False):
+def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
+                       delta_x: int = 1, rigidity: float = 0.0):
     """Global leftmost-min backtrack over the blocked sharded M.
     Returns (H,) global seam columns, replicated on every shard."""
     H, We = ext_M.shape
-    Hh = 2 * K
+    Hh = 2 * K * delta_x
     Wl = We - 2 * Hh
     idx = _axis_index(axis)
     lo = idx * Wl
@@ -275,19 +297,20 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False):
     segs = []  # collected bottom-up; each (len,) for rows [start, start+len)
 
     if nfull == 0:
-        seg = _seg_walk(ext_M[: H - 1], j, Wl, K, axis)    # rows [0, H-1)
+        seg = _seg_walk(ext_M[: H - 1], j, Wl, K, axis, delta_x, rigidity)    # rows [0, H-1)
         segs.append(seg)
     else:
         if rem:
             # remainder chunk: rows [nfull*K - 1, H - 1)
-            seg = _seg_walk(ext_M[nfull * K - 1: H - 1], j, Wl, K, axis)
+            seg = _seg_walk(ext_M[nfull * K - 1: H - 1], j, Wl, K, axis,
+                            delta_x, rigidity)
             segs.append(seg)
             j = seg[0]
         if nfull > 1:
             def chunk(jc, b):
                 rows = jax.lax.dynamic_slice(
                     ext_M, (b * K - 1, 0), (K, We))    # rows [bK-1, bK+K-1)
-                seg = _seg_walk(rows, jc, Wl, K, axis)
+                seg = _seg_walk(rows, jc, Wl, K, axis, delta_x, rigidity)
                 return seg[0], seg
 
             bs = jnp.arange(nfull - 1, 0, -1)
@@ -295,7 +318,7 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False):
                                         unroll=unroll)  # (nfull-1, K)
             segs.append(seg_stack[::-1].reshape((nfull - 1) * K))
         # block-0 chunk: rows [0, K-1)
-        seg0 = _seg_walk(ext_M[: K - 1], j, Wl, K, axis)
+        seg0 = _seg_walk(ext_M[: K - 1], j, Wl, K, axis, delta_x, rigidity)
         segs.append(seg0)
 
     return jnp.concatenate(segs[::-1] + [j_last[None]])
@@ -304,7 +327,8 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False):
 # ------------------------------------------------------------ strip update --
 
 def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
-                          textures, W: int, axis, R: int = STRIP_ROWS):
+                          textures, W: int, axis, R: int = STRIP_ROWS,
+                          delta_x: int = 1):
     """Per-seam sharded energy update: recompute only the strip around the
     removed seam.  Bitwise equal at every owned live column to the
     single-device `_recompute_strip` (same slab values -> same
@@ -315,10 +339,10 @@ def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
     idx = _axis_index(axis)
     lo = idx * Wl
 
-    start, _ = _strip_bounds(seam, n, W, 1)            # (H,) global
+    start, _ = _strip_bounds(seam, n, W, delta_x)      # (H,) global
     nb = -(-H // R)
     pad_h = nb * R - H
-    swb, gwb = _strip_block_dims(n, 1, R)
+    swb, gwb = _strip_block_dims(n, delta_x, R)
     start_p = jnp.pad(start, (0, pad_h), mode="edge").reshape(nb, R)
     bs = jnp.clip(jnp.min(start_p, axis=1), 0, max(W - swb, 0))  # (nb,) global
 
@@ -380,7 +404,8 @@ def _sharded_edge_fill(local_luma, width, axis):
 
 def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                        Wl: int, K: int, strip_update: bool, with_image: bool,
-                       axis, unroll: bool = False):
+                       axis, unroll: bool = False, delta_x: int = 1,
+                       rigidity: float = 0.0):
     """One full sharded seam: DP -> backtrack -> vmap record -> compaction ->
     energy update.  `st` is the 6-tuple of per-shard state; `label` is the
     1-based seam number written into the visibility map.  `unroll=True`
@@ -392,8 +417,10 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
     idx = _axis_index(axis)
     lo = idx * Wl
 
-    ext_M = _sharded_dp(E_l, width, K, axis, unroll=unroll)
-    seam = _sharded_backtrack(ext_M, width, K, axis, unroll=unroll)  # (H,)
+    ext_M = _sharded_dp(E_l, width, K, axis, unroll=unroll,
+                        delta_x=delta_x, rigidity=rigidity)
+    seam = _sharded_backtrack(ext_M, width, K, axis, unroll=unroll,
+                              delta_x=delta_x, rigidity=rigidity)  # (H,)
 
     # record the seam at original coordinates
     li = seam - lo
@@ -418,7 +445,7 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
     if strip_update:
         E_l = _sharded_strip_update(
             luma_l, _sharded_remove(E_l, seam, axis), seam,
-            blocksize, edges, textures, W, axis,
+            blocksize, edges, textures, W, axis, delta_x=delta_x,
         )
     else:
         E_l = _sharded_energy(luma_l, blocksize, edges, textures, W, axis)
@@ -436,6 +463,8 @@ def measure_collectives_per_seam(
     textures: float = 1.0,
     frontier_block: int = FRONTIER_BLOCK,
     strip_update: bool = True,
+    delta_x: int = 1,
+    rigidity: float = 0.0,
 ):
     """MEASURED collective count per carved seam: compile one unrolled seam
     step through the real shard_map lowering and count the collective ops in
@@ -459,7 +488,8 @@ def measure_collectives_per_seam(
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
         out = _spatial_seam_step(st, jnp.int32(1), blocksize, edges,
                                  textures, W, Wl, K, strip_update, False,
-                                 axis, unroll=True)
+                                 axis, unroll=True, delta_x=delta_x,
+                                 rigidity=rigidity)
         return out[0], out[2], out[3], out[4], out[5][None]
 
     f = jax.jit(shard_map(
@@ -505,11 +535,14 @@ class SpatialCarveState(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blocksize", "mesh", "axis", "with_image")
+    jax.jit, static_argnames=("blocksize", "mesh", "axis", "with_image",
+                              "logical_width")
 )
 def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
-                      with_image):
+                      with_image, logical_width=None):
     H, W = luma.shape
+    if logical_width is None:
+        logical_width = W
 
     spec = P(None, axis)
     energy = shard_map(
@@ -522,15 +555,17 @@ def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
     vmap0 = jax.device_put(jnp.zeros((H, W), jnp.int32),
                            NamedSharding(mesh, spec))
     return SpatialCarveState(luma, image, origcol, vmap0, energy,
-                             jnp.asarray(W, jnp.int32))
+                             jnp.asarray(logical_width, jnp.int32))
 
 
 @functools.partial(
     jax.jit, static_argnames=("count", "blocksize", "mesh", "axis",
-                              "frontier_block", "strip_update", "with_image")
+                              "frontier_block", "strip_update", "with_image",
+                              "delta_x", "rigidity")
 )
 def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
-                       mesh, axis, frontier_block, strip_update, with_image):
+                       mesh, axis, frontier_block, strip_update, with_image,
+                       delta_x=1, rigidity=0.0):
     """Carve `count` seams starting at 1-based label seam_base+1."""
     H, W = state.luma.shape
     nsh = mesh.shape[axis]
@@ -541,7 +576,8 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
         def body(i, st):
             return _spatial_seam_step(
                 st, base + i + 1, blocksize, edges, textures, W, Wl, K,
-                strip_update, with_image, axis,
+                strip_update, with_image, axis, delta_x=delta_x,
+                rigidity=rigidity,
             )
 
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
@@ -576,19 +612,30 @@ def spatial_make_state(
     image=None,
 ):
     """Shard the inputs over `mesh` and compute the initial sharded energy.
-    Returns (SpatialCarveState, mesh)."""
+    Returns (SpatialCarveState, mesh).
+
+    Widths not divisible by the mesh size are edge-padded to the next
+    multiple: the pad columns replicate the last live column, which is
+    EXACTLY the dead-region edge-fill invariant the carve maintains after
+    every removal — window clamping therefore reads the same values as an
+    unpadded single-device buffer, the DP masks the pad to +inf, and seams
+    stay bitwise-identical.  The padded buffer width is static; the logical
+    width starts at the true W."""
     if mesh is None:
         mesh = make_mesh(axis_name=axis)
     W = luma.shape[1]
     nsh = mesh.shape[axis]
-    if W % nsh:
-        raise ValueError(f"width {W} not divisible by mesh size {nsh}")
-    luma = jax.device_put(
-        jnp.asarray(luma), NamedSharding(mesh, P(None, axis))
-    )
+    pad = (-W) % nsh
+    luma = jnp.asarray(luma)
+    if pad:
+        luma = jnp.pad(luma, ((0, 0), (0, pad)), mode="edge")
+    luma = jax.device_put(luma, NamedSharding(mesh, P(None, axis)))
     with_image = image is not None
     if with_image:
         image = jnp.asarray(image)
+        if pad:
+            pw = ((0, 0), (0, pad)) + ((0, 0),) * (image.ndim - 2)
+            image = jnp.pad(image, pw, mode="edge")
         ispec = P(None, axis, None) if image.ndim == 3 else P(None, axis)
         image = jax.device_put(image, NamedSharding(mesh, ispec))
     else:
@@ -596,7 +643,7 @@ def spatial_make_state(
             jnp.zeros((1, nsh), luma.dtype), NamedSharding(mesh, P(None, axis))
         )  # placeholder, untouched
     state = _spatial_init_jit(luma, image, blocksize, edges, textures,
-                              mesh, axis, with_image)
+                              mesh, axis, with_image, W)
     return state, mesh
 
 
@@ -615,10 +662,15 @@ def spatial_carve_n_seams(
     chunk: int = 0,
     checkpoint_dir: str | None = None,
     resume_from: str | None = None,
+    delta_x: int = 1,
+    rigidity: float = 0.0,
 ) -> SpatialCarveResult:
-    """Carve `n_seams` from one column-sharded image.  `luma` (H, W) with W
-    divisible by the mesh size.  Returns the visibility map (original coords)
-    and final width; seams are identical to the single-device path.
+    """Carve `n_seams` from one column-sharded image.  `luma` (H, W), any W
+    (non-divisible widths are edge-padded internally, see
+    `spatial_make_state`).  Returns the visibility map (original coords)
+    and final width; seams are identical to the single-device path,
+    including the generalized `delta_x`/`rigidity` DP (the
+    `lqr_carver_init` parameters, src/render.c:313).
 
     `image`: optional (H, W[, C]) full-channel plane carried through the
     sharded compaction — the returned `.image` is the carved image (columns
@@ -632,8 +684,10 @@ def spatial_carve_n_seams(
     restores one and continues."""
     if mesh is None:
         mesh = make_mesh(axis_name=axis)
+    if delta_x < 1:
+        raise ValueError(f"delta_x must be >= 1, got {delta_x}")
     W = luma.shape[1]
-    if W < min_strip_width(blocksize, 1, STRIP_ROWS):
+    if W < min_strip_width(blocksize, delta_x, STRIP_ROWS):
         strip_update = False
     with_image = image is not None
 
@@ -644,7 +698,8 @@ def spatial_carve_n_seams(
     params = {
         "blocksize": int(blocksize), "edges": float(edges),
         "textures": float(textures), "frontier_block": int(frontier_block),
-        "strip_update": bool(strip_update),
+        "strip_update": bool(strip_update), "delta_x": int(delta_x),
+        "rigidity": float(rigidity),
     }
 
     done = 0
@@ -676,6 +731,7 @@ def spatial_carve_n_seams(
         state = _spatial_chunk_jit(
             state, jnp.int32(done), count, blocksize, edges, textures,
             mesh, axis, frontier_block, strip_update, with_image,
+            delta_x, rigidity,
         )
         state = jax.block_until_ready(state)
         done += count
@@ -685,5 +741,10 @@ def spatial_carve_n_seams(
             save_sharded(checkpoint_dir, state,
                          {"seams_done": done, "n_seams_total": n_seams,
                           **params})
-    return SpatialCarveResult(state.vmap, state.width,
-                              state.image if with_image else None)
+    # un-pad: results are reported at the ORIGINAL width
+    res_vmap = state.vmap[:, :W] if state.vmap.shape[1] != W else state.vmap
+    res_img = None
+    if with_image:
+        res_img = (state.image[:, :W]
+                   if state.image.shape[1] != W else state.image)
+    return SpatialCarveResult(res_vmap, state.width, res_img)

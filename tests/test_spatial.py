@@ -24,7 +24,7 @@ def _luma(h, w, seed=0):
     return np.asarray(oracle.luma_bt709(img), np.float32), img
 
 
-@pytest.mark.parametrize("blocksize", [4, 8])
+@pytest.mark.parametrize("blocksize", [4, 8, 16])
 def test_spatial_matches_single_device(mesh8, blocksize):
     luma_np, _ = _luma(32, 64)
     n = 5
@@ -62,10 +62,61 @@ def test_spatial_seam_crossing_boundaries(mesh8):
     assert cols.min() // 8 != cols.max() // 8
 
 
-def test_spatial_width_not_divisible_raises(mesh8):
-    luma_np, _ = _luma(16, 60)
-    with pytest.raises(ValueError):
-        spatial_carve_n_seams(luma_np, 1, mesh=mesh8)
+@pytest.mark.parametrize("w", [60, 61])
+def test_spatial_width_not_divisible(mesh8, w):
+    """Non-divisible widths are edge-padded internally; seams must still be
+    bitwise-identical to the single-device path and results reported at the
+    original width."""
+    luma_np, img = _luma(16, w)
+    n = 3
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.0, 1.0, strip_update=False
+    )
+    sharded = spatial_carve_n_seams(luma_np, n, mesh=mesh8, image=img)
+    assert sharded.vmap.shape == (16, w)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
+    ref = carve_ops.reconstruct_removed(jnp.asarray(img), single.vmap, n)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.image)[:, : w - n], np.asarray(ref))
+    assert int(sharded.width) == w - n
+
+
+@pytest.mark.parametrize("dx_rig", [(2, 0.0), (1, 0.5), (3, 1.5)])
+def test_spatial_delta_x_rigidity(mesh8, dx_rig):
+    """The generalized DP (delta_x steps/row + rigidity penalty — the
+    lqr_carver_init parameters) must match the single-device generalized
+    path seam-for-seam."""
+    dx, rig = dx_rig
+    luma_np, _ = _luma(24, 64, seed=19)
+    n = 4
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.2, 0.9, strip_update=False,
+        delta_x=dx, rigidity=rig,
+    )
+    sharded = spatial_carve_n_seams(
+        luma_np, n, mesh=mesh8, edges=0.2, textures=0.9,
+        delta_x=dx, rigidity=rig, strip_update=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
+
+
+def test_spatial_delta_x_strip_update(mesh8):
+    """delta_x widens the strip; the sharded strip update must stay exact."""
+    luma_np, _ = _luma(24, 128, seed=23)
+    n = 4
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.0, 1.0, strip_update=True, delta_x=2,
+    )
+    sharded = spatial_carve_n_seams(
+        luma_np, n, mesh=mesh8, delta_x=2, strip_update=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
 
 
 @pytest.mark.parametrize("K", [4, 7, 64])
