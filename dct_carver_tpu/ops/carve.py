@@ -55,13 +55,16 @@ class CarveState(NamedTuple):
     energy: jax.Array   # (H, W0) float32 — current energy (dead region garbage)
 
 
-def make_state(luma: jax.Array) -> CarveState:
+def make_state(luma: jax.Array, width: int | None = None) -> CarveState:
+    """`width`: logical width when the buffer carries right padding (the
+    pad columns must replicate the last live column — the dead-region
+    edge-fill invariant)."""
     H, W = luma.shape
     return CarveState(
         luma=luma,
         origcol=jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (H, W)),
         vmap=jnp.zeros((H, W), jnp.int32),
-        width=jnp.asarray(W, jnp.int32),
+        width=jnp.asarray(W if width is None else width, jnp.int32),
         energy=jnp.zeros((H, W), jnp.float32),
     )
 
@@ -185,13 +188,18 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
                             energy_fn=None, e_shift=None) -> jax.Array:
     """Same contract and bitwise-identical values as `_recompute_strip`, with
     the slow XLA gather/scatter replaced by the Pallas window kernels
-    (pallas/strip_kernel.py).  The energy VALUES still come from the same
-    `energy_from_bands` chains, so strip == full recompute stays exact.
+    (pallas/strip_kernel.py).  On a real TPU with the builtin DCT energy the
+    chain math itself also runs fused in VMEM (`strip_energy_pallas`, the
+    same op emitter as the full-map kernel — bitwise equal to the XLA
+    chains on hardware); plugged energies and interpret mode keep the XLA
+    `energy_from_bands` path (interpret-mode chains carry ~ulp LLVM-FMA
+    noise, see pallas/energy_kernel.py).
 
     Requires H % 8 == 0, W % 128 == 0, W >= 256, gwb <= 128
     (see `strip_pallas_ok`).
     """
-    from ..pallas.strip_kernel import gather_slabs, scatter_strips
+    from ..pallas.strip_kernel import (gather_slabs, scatter_strips,
+                                       strip_energy_pallas)
 
     H, W = state.luma.shape
     n = blocksize
@@ -214,13 +222,20 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
                  mode="edge")
 
     slab256 = gather_slabs(lp, bs, slab_rows, row_block=R)  # (nb, slab_rows, 256)
-    bands = jnp.stack(
-        [slab256[:, rr : rr + n, :gwb] for rr in range(R)], axis=1
-    )
-    strip_E = _bands_energy(
-        bands.reshape(nb * R, n, gwb), n, edges, textures, energy_fn
-    ).astype(jnp.float32).reshape(nb, R, swb)
-    strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, 256 - swb)))
+    # fused chains pay only when the atom count is large: at n=16 (255
+    # atoms) VMEM residency beats XLA 2x+ (config 3: 1.78 -> ~0.6 ms/seam);
+    # at n=8 the fixed 256-lane window does ~2x the lane work of the
+    # 82-lane XLA bands and measured a net loss on the batch path
+    if energy_fn is None and n >= 16 and jax.default_backend() == "tpu":
+        strips = strip_energy_pallas(slab256, n, edges, textures, R)
+    else:
+        bands = jnp.stack(
+            [slab256[:, rr : rr + n, :gwb] for rr in range(R)], axis=1
+        )
+        strip_E = _bands_energy(
+            bands.reshape(nb * R, n, gwb), n, edges, textures, energy_fn
+        ).astype(jnp.float32).reshape(nb, R, swb)
+        strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, 256 - swb)))
     return scatter_strips(E_shift, strips, bs, swb, row_block=R)
 
 
@@ -351,8 +366,20 @@ def carve_n_seams(
         raise ValueError(f"delta_x must be >= 1, got {delta_x}")
     if delta_x != 1 or rigidity != 0.0:
         use_pallas = False
+    # Non-lane-aligned widths: edge-pad the buffer to the Pallas alignment
+    # so ANY width takes the kernel path.  Pad columns replicate the last
+    # live column — exactly the dead-region edge-fill invariant the carve
+    # maintains — the DP masks them to +inf, and seams stay bitwise equal
+    # to the unpadded scan path (tested).  Buffers are sliced back at the
+    # end so callers see the original width.
+    W0 = W
+    pad = 0
+    if W % 128 and resolve_use_pallas(use_pallas, H, -(-W // 128) * 128):
+        pad = (-W) % 128
+        W += pad
+        luma = jnp.pad(luma, ((0, 0), (0, pad)), mode="edge")
     use_pallas = resolve_use_pallas(use_pallas, H, W)
-    state = make_state(luma)
+    state = make_state(luma, width=W0)
     # energy is stored as f32 — liblqr's gfloat (src/dct.c:96) — no matter
     # the compute dtype; the DP then matches the oracle's f32 arithmetic
     E0 = full_energy_map(luma, blocksize, edges, textures, energy_fn=energy_fn)
@@ -370,7 +397,14 @@ def carve_n_seams(
                          textures, strip_update, use_pallas, delta_x,
                          rigidity, energy_fn)
 
-    return jax.lax.fori_loop(0, n_seams, body, state)
+    state = jax.lax.fori_loop(0, n_seams, body, state)
+    if pad:
+        state = CarveState(
+            luma=state.luma[:, :W0], origcol=state.origcol[:, :W0],
+            vmap=state.vmap[:, :W0], width=state.width,
+            energy=state.energy[:, :W0],
+        )
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=("n_seams",))

@@ -62,6 +62,47 @@ def energy_pallas_supported(W: int, blocksize: int) -> bool:
     return Wp <= MAX_WP
 
 
+def _energy_chain_ops(D, n: int, R: int, Wp: int, slab_row, edges, textures):
+    """Emit the fused stage-1/stage-2 energy chains for one R-row block.
+
+    `slab_row(dy)` returns the (R, Wp) rows [dy, dy+R) of the padded luma
+    slab.  Shared by the full-map kernel and the strip-energy kernel
+    (strip_kernel.py) so both produce the IDENTICAL op sequence — the
+    bitwise contract between the strip update and a full recompute reduces
+    to this one function."""
+    maxval = jnp.full((R, Wp), -jnp.inf, jnp.float32)
+    winner = jnp.full((R, Wp), -1, jnp.int32)
+    for ky in range(n):
+        # stage 1 — vertical DCT row for this ky (same dy chain order as
+        # ops.dct.energy_from_bands)
+        v = D[ky, 0] * slab_row(0)
+        for dy in range(1, n):
+            v = v + D[ky, dy] * slab_row(dy)
+        # lane c of sh[dx] holds v[c + dx] (right-rotate by Wp - dx);
+        # wraparound lanes land beyond the valid W columns
+        sh = [v] + [
+            pltpu.roll(v, Wp - dx, axis=1) for dx in range(1, n)
+        ]
+
+        kx0 = 1 if ky == 0 else 0  # DC atom (0,0) excluded (src/dct.c:103)
+        for kx in range(kx0, n):
+            t = D[kx, 0] * sh[0]
+            for dx in range(1, n):
+                t = t + D[kx, dx] * sh[dx]
+            a = jnp.abs(t)
+            rank = kx * n + ky
+            take_new = a > maxval
+            tie = a == maxval
+            winner = jnp.where(
+                take_new, rank,
+                jnp.where(tie, jnp.maximum(winner, rank), winner),
+            )
+            maxval = jnp.maximum(maxval, a)
+
+    is_edge = (winner == 1) | (winner == n)  # atoms (0,1),(1,0)
+    return maxval * jnp.where(is_edge, edges, textures)
+
+
 def _make_kernel(n: int, R: int, Wp: int, slab_rows: int, nb: int,
                  stride: int):
     # DCT taps are compile-time f32 constants (same f32 rounding as the XLA
@@ -79,40 +120,10 @@ def _make_kernel(n: int, R: int, Wp: int, slab_rows: int, nb: int,
         dma.start()
         dma.wait()
 
-        edges = fscal_ref[0]
-        textures = fscal_ref[1]
-
-        maxval = jnp.full((R, Wp), -jnp.inf, jnp.float32)
-        winner = jnp.full((R, Wp), -1, jnp.int32)
-        for ky in range(n):
-            # stage 1 — vertical DCT row for this ky (same dy chain order as
-            # ops.dct.energy_from_bands)
-            v = D[ky, 0] * slab[0:R, :]
-            for dy in range(1, n):
-                v = v + D[ky, dy] * slab[dy : dy + R, :]
-            # lane c of sh[dx] holds v[c + dx] (right-rotate by Wp - dx);
-            # wraparound lanes land beyond the valid W columns
-            sh = [v] + [
-                pltpu.roll(v, Wp - dx, axis=1) for dx in range(1, n)
-            ]
-
-            kx0 = 1 if ky == 0 else 0  # DC atom (0,0) excluded (src/dct.c:103)
-            for kx in range(kx0, n):
-                t = D[kx, 0] * sh[0]
-                for dx in range(1, n):
-                    t = t + D[kx, dx] * sh[dx]
-                a = jnp.abs(t)
-                rank = kx * n + ky
-                take_new = a > maxval
-                tie = a == maxval
-                winner = jnp.where(
-                    take_new, rank,
-                    jnp.where(tie, jnp.maximum(winner, rank), winner),
-                )
-                maxval = jnp.maximum(maxval, a)
-
-        is_edge = (winner == 1) | (winner == n)  # atoms (0,1),(1,0)
-        e_out[:, :] = maxval * jnp.where(is_edge, edges, textures)
+        e_out[:, :] = _energy_chain_ops(
+            D, n, R, Wp, lambda dy: slab[dy : dy + R, :],
+            fscal_ref[0], fscal_ref[1],
+        )
 
     return kernel
 

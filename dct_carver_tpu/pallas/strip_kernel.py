@@ -1,24 +1,27 @@
-"""Pallas gather/scatter for the per-seam strip energy update.
+"""Pallas kernels for the per-seam strip energy update.
 
-The strip update's MATH (energy_from_bands) is cheap and must stay in XLA —
-its explicit multiply-add chains are the bit-exactness contract
-(ops/dct.py:75-116).  What is slow in XLA is the DATA MOVEMENT around it:
+Three pieces replace the XLA data movement AND (on hardware) the chain math
+around the strip recompute:
 
   * slab gather   — vmap(dynamic_slice) at per-block dynamic column offsets
                     lowers to a general gather (~0.15 ms/seam at 1080p);
+                    replaced by a 128-aligned 256-lane window DMA plus an
+                    in-register lane rotation (static rolls + selects —
+                    dynamic `pltpu.roll` shifts are pathologically slow to
+                    compile on Mosaic);
+  * strip energy  — the stage-1/stage-2 DCT-argmax chains run fused in VMEM
+                    on the gathered slabs (`strip_energy_pallas`), sharing
+                    energy_kernel's `_energy_chain_ops` emitter so values
+                    are bitwise-identical to the full-map kernel AND to the
+                    XLA chains on TPU (the 255-atom n=16 argmax never
+                    round-trips HBM);
   * strip scatter — vmap(dynamic_update_slice) lowers to a general scatter
-                    (~0.37 ms/seam — the single biggest cost of the apply
-                    stage).
+                    (~0.37 ms/seam); replaced by a double-buffered RMW of
+                    only the 8x256 windows (energy aliased in place,
+                    ~1 MB/seam instead of a full-image scatter).
 
-Both are replaced here by tiny Pallas kernels built on one primitive: a
-128-aligned 256-lane window DMA plus an in-register lane rotation done with
-static rolls + selects (dynamic `pltpu.roll` shifts are pathologically slow
-to compile on Mosaic).  The scatter aliases its energy input to the output
-and read-modify-writes ONLY the 8x256 windows (~1 MB/seam instead of a
-full-image scatter).
-
-Values are plain copies / selects of XLA-computed numbers, so the strip
-update remains bitwise identical to a full recompute (tests/test_carve.py).
+The strip update therefore remains bitwise identical to a full recompute
+(tests/test_carve.py; hardware chain parity in scripts/verify_strip_tpu.py).
 
 Reference analog: liblqr's incremental energy update after a seam removal
 inside `lqr_carver_resize` (/root/reference/src/render.c:377).
@@ -35,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dp_kernel import _interpret_default
 
-__all__ = ["gather_slabs", "scatter_strips", "strip_pallas_supported"]
+__all__ = ["gather_slabs", "scatter_strips", "strip_pallas_supported",
+           "strip_energy_pallas"]
 
 LANE = 128
 WIN = 256          # aligned lane window (2 lane groups)
@@ -317,3 +321,101 @@ def scatter_strips(E: jax.Array, strips: jax.Array, bs: jax.Array, swb: int,
     Composable with `jax.vmap` (flattened batched kernel).
     """
     return _scatter_cv(swb, row_block, interpret)(E, strips, bs)
+
+
+# ------------------------------------------------------------ strip energy --
+
+def _make_strip_energy_kernel(n: int, R: int):
+    import numpy as np
+    from .energy_kernel import _energy_chain_ops
+    from ..ops.dct import _dct_matrix_np
+
+    D = np.asarray(_dct_matrix_np(n), np.float32)
+
+    def kernel(fscal_ref, slab_ref, out_ref):
+        out_ref[:, :] = _energy_chain_ops(
+            D, n, R, WIN, lambda dy: slab_ref[dy : dy + R, :],
+            fscal_ref[0], fscal_ref[1],
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "R", "interpret"))
+def _strip_energy_batched(slabs, n, edges, textures, R,
+                          interpret: bool | None = None):
+    """slabs (B, nb, slab_rows, WIN) f32 -> (B, nb, R, WIN) f32 energy.
+
+    Runs the SAME fused stage-1/stage-2 chains as the full-map kernel
+    (energy_kernel._energy_chain_ops) directly on the gathered slabs, so the
+    per-atom responses never round-trip HBM and the 255-atom (n=16) argmax
+    stays in VMEM.  Output lanes >= swb (and any lanes whose taps reach the
+    rotated slab tail) are garbage — the scatter's lane mask discards them,
+    exactly like the XLA bands path discarded columns beyond swb."""
+    B, nb, slab_rows, _ = slabs.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    fscal = jnp.stack([
+        jnp.asarray(edges, jnp.float32),
+        jnp.asarray(textures, jnp.float32),
+    ])
+    out = pl.pallas_call(
+        _make_strip_energy_kernel(n, R),
+        grid=(B * nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((slab_rows, WIN), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, WIN), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nb * R, WIN), jnp.float32),
+        interpret=interpret,
+    )(fscal, slabs.reshape(B * nb * slab_rows, WIN))
+    return out.reshape(B, nb, R, WIN)
+
+
+@functools.lru_cache(maxsize=None)
+def _strip_energy_cv(n: int, R: int, interpret: bool | None):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(slabs, edges, textures):
+        return _strip_energy_batched(
+            slabs[None], n, edges, textures, R, interpret=interpret
+        )[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, slabs, edges, textures):
+        s_b, e_b, t_b = in_batched
+        if not s_b:
+            slabs = jnp.broadcast_to(slabs[None], (axis_size, *slabs.shape))
+        if e_b or t_b:
+            out = jax.lax.map(
+                lambda a: f(a[0], a[1], a[2]),
+                (slabs,
+                 jnp.broadcast_to(jnp.asarray(edges), (axis_size,))
+                 if not e_b else edges,
+                 jnp.broadcast_to(jnp.asarray(textures), (axis_size,))
+                 if not t_b else textures),
+            )
+        else:
+            out = _strip_energy_batched(
+                slabs, n, edges, textures, R, interpret=interpret
+            )
+        return out, True
+
+    return f
+
+
+def strip_energy_pallas(slabs, n: int, edges, textures, R: int,
+                        interpret: bool | None = None):
+    """(nb, slab_rows, WIN) gathered slabs -> (nb, R, WIN) weighted max-AC
+    energy (lanes [0, swb) valid), bitwise-identical on TPU to the XLA
+    `energy_from_bands` chains on the same slab values (shared op emitter
+    with the full-map kernel).  Composable with `jax.vmap` (flattened
+    batched kernel)."""
+    return _strip_energy_cv(n, R, interpret)(
+        slabs, jnp.asarray(edges, jnp.float32),
+        jnp.asarray(textures, jnp.float32),
+    )

@@ -50,3 +50,25 @@ assert (vm_new == vm_old).all(), "vmap mismatch!"
 wid = int(old.width)
 assert (e_new[:, :wid] == e_old[:, :wid]).all(), "energy mismatch!"
 print("PARITY OK (vmap + live energy bitwise equal)")
+
+# n=16 chains (255 atoms) through the fused strip-energy kernel vs XLA strip
+H2, W2, N2 = 512, 1024, 8
+lumas2 = [jnp.asarray(rng.random((H2, W2), dtype=np.float32)) for _ in range(2)]
+
+
+def run16(luma, **kw):
+    st = carve_n_seams(luma, N2, 16, 0.3, 0.8, strip_update=True, **kw)
+    int(st.width)
+    return st
+
+
+new16 = run16(lumas2[0], use_pallas=True)
+carve_mod.strip_pallas_ok = lambda *a, **k: False
+carve_mod.carve_n_seams.clear_cache()
+old16 = run16(lumas2[0], use_pallas=True)
+carve_mod.strip_pallas_ok = orig_gate
+assert (np.asarray(new16.vmap) == np.asarray(old16.vmap)).all(), "n16 vmap!"
+w16 = int(old16.width)
+assert (np.asarray(new16.energy)[:, :w16]
+        == np.asarray(old16.energy)[:, :w16]).all(), "n16 energy!"
+print("PARITY OK n=16 (fused strip-energy chains bitwise equal)")

@@ -135,3 +135,23 @@ def test_find_seam_big_image_dispatch(rng, monkeypatch):
                                          interpret=True)
         ref = _masked_find_seam(jnp.asarray(E), jnp.int32(W))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_carve_nonaligned_width_pallas_matches_scan(rng):
+    """Widths not lane-aligned are edge-padded into the kernel path; the
+    carve must stay bitwise-identical to the unpadded scan path and report
+    buffers at the original width."""
+    from dct_carver_tpu.ops.carve import carve_n_seams
+
+    H, W = 32, 200
+    luma = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    scan = carve_n_seams(luma, 5, 8, 0.3, 0.8, use_pallas=False)
+    pal = carve_n_seams(luma, 5, 8, 0.3, 0.8, use_pallas=True)
+    assert pal.vmap.shape == (H, W)
+    np.testing.assert_array_equal(np.asarray(scan.vmap), np.asarray(pal.vmap))
+    np.testing.assert_array_equal(
+        np.asarray(scan.energy)[:, : W - 5], np.asarray(pal.energy)[:, : W - 5]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scan.luma)[:, : W - 5], np.asarray(pal.luma)[:, : W - 5]
+    )

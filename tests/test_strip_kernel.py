@@ -68,3 +68,47 @@ def test_strip_pallas_gate():
     assert not strip_pallas_ok(1080, 1920, 16, delta_x=5)
     swb, gwb = _strip_block_dims(16, 4)
     assert gwb <= 128
+
+
+@pytest.mark.parametrize("n,R", [(8, 16), (16, 8)])
+def test_strip_energy_kernel_matches_bands(rng, n, R):
+    """The fused strip-energy kernel (interpret mode) must match the XLA
+    energy_from_bands chains on the same slab values.  Interpret mode
+    carries ~ulp LLVM-FMA noise (see test_energy_kernel.py); on TPU the
+    shared chain emitter makes it bitwise (scripts/verify_strip_tpu.py)."""
+    from dct_carver_tpu.ops.dct import energy_from_bands
+    from dct_carver_tpu.pallas.strip_kernel import strip_energy_pallas
+    from dct_carver_tpu.ops.carve import _strip_block_dims
+
+    nb = 3
+    slab_rows = -(-(R + n - 1) // 8) * 8
+    swb, gwb = _strip_block_dims(n, 1, R)
+    slabs = rng.random((nb, slab_rows, WIN)).astype(np.float32)
+
+    got = np.asarray(strip_energy_pallas(
+        jnp.asarray(slabs), n, 0.3, 0.8, R, interpret=True))
+    assert got.shape == (nb, R, WIN)
+
+    bands = np.stack(
+        [slabs[:, rr : rr + n, :gwb] for rr in range(R)], axis=1
+    )
+    ref = np.asarray(energy_from_bands(
+        jnp.asarray(bands.reshape(nb * R, n, gwb)), n, 0.3, 0.8
+    )).reshape(nb, R, swb)
+    np.testing.assert_allclose(got[:, :, :swb], ref, rtol=5e-5, atol=1e-7)
+
+
+def test_strip_energy_kernel_vmap_flattens(rng):
+    """jax.vmap over strip_energy_pallas must route to the flattened batch
+    kernel and match per-image results."""
+    import jax
+
+    from dct_carver_tpu.pallas.strip_kernel import strip_energy_pallas
+
+    B, nb, n, R = 2, 2, 8, 8
+    slab_rows = -(-(R + n - 1) // 8) * 8
+    slabs = rng.random((B, nb, slab_rows, WIN)).astype(np.float32)
+    f = lambda s: strip_energy_pallas(s, n, 0.1, 0.9, R, interpret=True)
+    got = np.asarray(jax.vmap(f)(jnp.asarray(slabs)))
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], np.asarray(f(jnp.asarray(slabs[b]))))
