@@ -52,6 +52,8 @@ from jax import shard_map
 
 from ..ops.dct import energy_from_bands
 from ..ops.dp import _rigidity_penalties, _shift_row
+from ..pallas.spatial_dp_kernel import (block_dp_rows, block_dp_supported,
+                                        seg_walk_rows, seg_walk_supported)
 from ..ops.carve import _strip_bounds, _strip_block_dims, min_strip_width
 from .mesh import make_mesh
 
@@ -170,7 +172,8 @@ def _sharded_energy(local_luma, blocksize, edges, textures, W, axis):
 # -------------------------------------------------------------------- DP ----
 
 def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
-                delta_x: int = 1, rigidity: float = 0.0):
+                delta_x: int = 1, rigidity: float = 0.0,
+                use_pallas: bool = False):
     """Blocked sharded cumulative energy.  E_local (H, Wl) f32 (unmasked);
     returns ext_M (H, We) with We = Wl + 4·K·delta_x (halo Hh = 2·K·delta_x
     columns per side; ext column e holds global column lo - Hh + e).
@@ -201,6 +204,12 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
         ext = _halo_gather(msg, Hh, Hh, axis)          # (Kb + 1, We)
         ext_prev = jnp.where(valid, ext[0], inf)
         ext_E = jnp.where(valid[None, :], ext[1:], inf)
+
+        if use_pallas and block_dp_supported(We, d) and rigidity == 0.0:
+            # one kernel per block: K rows with the frontier in registers
+            # (bitwise == the scan - add/min only, pallas/spatial_dp_kernel)
+            Ms = block_dp_rows(ext_prev, ext_E)
+            return Ms[-1, Hh:Hh + Wl], Ms
 
         def row(prev_e, e_row):
             # same candidate order + op fold as ops/dp.py cumulative_energy
@@ -233,7 +242,8 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
 # -------------------------------------------------------------- backtrack ---
 
 def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
-              delta_x: int = 1, rigidity: float = 0.0):
+              delta_x: int = 1, rigidity: float = 0.0,
+              use_pallas: bool = False):
     """Walk one backtrack segment locally on the owner shard of `j_bottom`,
     then broadcast it.  ext_M_rows: (Kb, We) rows [s-1, e-1) of ext_M;
     j_bottom: () i32 global seam column at row e-1 (replicated).  Returns
@@ -253,27 +263,33 @@ def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
     owned = (j_bottom >= lo) & (j_bottom < lo + Wl)
     wstart = jnp.clip(j_bottom - lo + Hh - K * d, 0, We - (2 * K * d + 1))
     win = jax.lax.dynamic_slice(ext_M_rows, (0, wstart), (Kb, 2 * K * d + 1))
-    winp = jnp.pad(win, ((0, 0), (d, d)), constant_values=jnp.inf)
-    pen = jnp.asarray(_rigidity_penalties(d, rigidity, jnp.float32),
-                      jnp.float32)
+    if use_pallas and seg_walk_supported(K, d) and rigidity == 0.0:
+        # one-hot window walk in one kernel (bitwise == the scalar scan)
+        seg = seg_walk_rows(win, K)
+    else:
+        winp = jnp.pad(win, ((0, 0), (d, d)), constant_values=jnp.inf)
+        pen = jnp.asarray(_rigidity_penalties(d, rigidity, jnp.float32),
+                          jnp.float32)
 
-    def step(jl, row_p):
-        # padded (2d+1)-window [jl-d .. jl+d]; leftmost-min tie
-        wd = jax.lax.dynamic_slice(row_p, (jl,), (2 * d + 1,))
-        if rigidity != 0.0:
-            wd = wd + pen
-        jn = jl - d + jnp.argmin(wd).astype(jnp.int32)
-        return jn, jn
+        def step(jl, row_p):
+            # padded (2d+1)-window [jl-d .. jl+d]; leftmost-min tie
+            wd = jax.lax.dynamic_slice(row_p, (jl,), (2 * d + 1,))
+            if rigidity != 0.0:
+                wd = wd + pen
+            jn = jl - d + jnp.argmin(wd).astype(jnp.int32)
+            return jn, jn
 
-    _, seg_rev = jax.lax.scan(step, _pvary(jnp.int32(K * d), axis),
-                              winp[::-1])
-    seg_g = seg_rev[::-1] + (j_bottom - K * d)         # rows [s-1, e-1)
+        _, seg_rev = jax.lax.scan(step, _pvary(jnp.int32(K * d), axis),
+                                  winp[::-1])
+        seg = seg_rev[::-1]
+    seg_g = seg + (j_bottom - K * d)                   # rows [s-1, e-1)
     seg_g = jnp.where(owned, seg_g, 0)
     return jax.lax.psum(seg_g, axis)
 
 
 def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
-                       delta_x: int = 1, rigidity: float = 0.0):
+                       delta_x: int = 1, rigidity: float = 0.0,
+                       use_pallas: bool = False):
     """Global leftmost-min backtrack over the blocked sharded M.
     Returns (H,) global seam columns, replicated on every shard."""
     H, We = ext_M.shape
@@ -297,20 +313,22 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
     segs = []  # collected bottom-up; each (len,) for rows [start, start+len)
 
     if nfull == 0:
-        seg = _seg_walk(ext_M[: H - 1], j, Wl, K, axis, delta_x, rigidity)    # rows [0, H-1)
+        seg = _seg_walk(ext_M[: H - 1], j, Wl, K, axis, delta_x,
+                        rigidity, use_pallas)    # rows [0, H-1)
         segs.append(seg)
     else:
         if rem:
             # remainder chunk: rows [nfull*K - 1, H - 1)
             seg = _seg_walk(ext_M[nfull * K - 1: H - 1], j, Wl, K, axis,
-                            delta_x, rigidity)
+                            delta_x, rigidity, use_pallas)
             segs.append(seg)
             j = seg[0]
         if nfull > 1:
             def chunk(jc, b):
                 rows = jax.lax.dynamic_slice(
                     ext_M, (b * K - 1, 0), (K, We))    # rows [bK-1, bK+K-1)
-                seg = _seg_walk(rows, jc, Wl, K, axis, delta_x, rigidity)
+                seg = _seg_walk(rows, jc, Wl, K, axis, delta_x, rigidity,
+                                use_pallas)
                 return seg[0], seg
 
             bs = jnp.arange(nfull - 1, 0, -1)
@@ -318,7 +336,8 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
                                         unroll=unroll)  # (nfull-1, K)
             segs.append(seg_stack[::-1].reshape((nfull - 1) * K))
         # block-0 chunk: rows [0, K-1)
-        seg0 = _seg_walk(ext_M[: K - 1], j, Wl, K, axis, delta_x, rigidity)
+        seg0 = _seg_walk(ext_M[: K - 1], j, Wl, K, axis, delta_x, rigidity,
+                          use_pallas)
         segs.append(seg0)
 
     return jnp.concatenate(segs[::-1] + [j_last[None]])
@@ -405,7 +424,7 @@ def _sharded_edge_fill(local_luma, width, axis):
 def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                        Wl: int, K: int, strip_update: bool, with_image: bool,
                        axis, unroll: bool = False, delta_x: int = 1,
-                       rigidity: float = 0.0):
+                       rigidity: float = 0.0, use_pallas: bool = False):
     """One full sharded seam: DP -> backtrack -> vmap record -> compaction ->
     energy update.  `st` is the 6-tuple of per-shard state; `label` is the
     1-based seam number written into the visibility map.  `unroll=True`
@@ -418,9 +437,11 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
     lo = idx * Wl
 
     ext_M = _sharded_dp(E_l, width, K, axis, unroll=unroll,
-                        delta_x=delta_x, rigidity=rigidity)
+                        delta_x=delta_x, rigidity=rigidity,
+                        use_pallas=use_pallas)
     seam = _sharded_backtrack(ext_M, width, K, axis, unroll=unroll,
-                              delta_x=delta_x, rigidity=rigidity)  # (H,)
+                              delta_x=delta_x, rigidity=rigidity,
+                              use_pallas=use_pallas)  # (H,)
 
     # record the seam at original coordinates
     li = seam - lo
@@ -561,11 +582,11 @@ def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
 @functools.partial(
     jax.jit, static_argnames=("count", "blocksize", "mesh", "axis",
                               "frontier_block", "strip_update", "with_image",
-                              "delta_x", "rigidity")
+                              "delta_x", "rigidity", "use_pallas")
 )
 def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                        mesh, axis, frontier_block, strip_update, with_image,
-                       delta_x=1, rigidity=0.0):
+                       delta_x=1, rigidity=0.0, use_pallas=False):
     """Carve `count` seams starting at 1-based label seam_base+1."""
     H, W = state.luma.shape
     nsh = mesh.shape[axis]
@@ -577,7 +598,7 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
             return _spatial_seam_step(
                 st, base + i + 1, blocksize, edges, textures, W, Wl, K,
                 strip_update, with_image, axis, delta_x=delta_x,
-                rigidity=rigidity,
+                rigidity=rigidity, use_pallas=use_pallas,
             )
 
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
@@ -664,6 +685,7 @@ def spatial_carve_n_seams(
     resume_from: str | None = None,
     delta_x: int = 1,
     rigidity: float = 0.0,
+    use_pallas: bool | None = None,
 ) -> SpatialCarveResult:
     """Carve `n_seams` from one column-sharded image.  `luma` (H, W), any W
     (non-divisible widths are edge-padded internally, see
@@ -686,6 +708,10 @@ def spatial_carve_n_seams(
         mesh = make_mesh(axis_name=axis)
     if delta_x < 1:
         raise ValueError(f"delta_x must be >= 1, got {delta_x}")
+    if use_pallas is None:
+        # auto: per-shard block kernels on a real TPU (interpret mode on
+        # CPU is bitwise-correct but slower than the scan; tests opt in)
+        use_pallas = jax.default_backend() == "tpu"
     W = luma.shape[1]
     if W < min_strip_width(blocksize, delta_x, STRIP_ROWS):
         strip_update = False
@@ -731,7 +757,7 @@ def spatial_carve_n_seams(
         state = _spatial_chunk_jit(
             state, jnp.int32(done), count, blocksize, edges, textures,
             mesh, axis, frontier_block, strip_update, with_image,
-            delta_x, rigidity,
+            delta_x, rigidity, bool(use_pallas),
         )
         state = jax.block_until_ready(state)
         done += count

@@ -246,3 +246,24 @@ def test_measured_collectives_match_design(mesh8, hwk):
     # the design uses only ppermute + psum/pmin: no all-gathers or
     # all-to-alls may appear
     assert set(m["by_op"]) <= {"collective-permute", "all-reduce"}, m
+
+
+@pytest.mark.parametrize("wk", [(64, 32), (256, 24)])
+def test_spatial_pallas_kernels_bitwise(mesh8, wk):
+    """The per-shard Pallas block-DP + segment-walk kernels (interpret mode
+    here) must give bitwise-identical seams to the scan forms — the kernels
+    use only add/min/select ops, so this holds on every backend.
+    (W=256, K=24 makes We = W/8 + 4K = 128, engaging the block-DP kernel;
+    the other case engages only the segment walk.)"""
+    from dct_carver_tpu.pallas.spatial_dp_kernel import block_dp_supported
+
+    w, K = wk
+    if w == 256:
+        assert block_dp_supported(w // 8 + 4 * K)
+    luma_np, _ = _luma(48, w, seed=29)
+    n = 4
+    scan = spatial_carve_n_seams(luma_np, n, mesh=mesh8, use_pallas=False,
+                                 frontier_block=K)
+    pal = spatial_carve_n_seams(luma_np, n, mesh=mesh8, use_pallas=True,
+                                frontier_block=K)
+    np.testing.assert_array_equal(np.asarray(pal.vmap), np.asarray(scan.vmap))
