@@ -179,23 +179,33 @@ def bench_config_5(rng):
         spatial_carve_n_seams, collectives_per_seam,
     )
 
-    h, w, n = 4320, 7680, 16
+    h, w, n = 4320, 7680, 64
     mesh = make_mesh(axis_name="x")
     nsh = mesh.shape["x"]
     lumas = _mk_lumas(rng, h, w, k=2)
 
-    def run(x):
-        r = spatial_carve_n_seams(x, n, blocksize=8, mesh=mesh)
+    def run(x, nn):
+        r = spatial_carve_n_seams(x, nn, blocksize=8, mesh=mesh)
         int(r.width)
 
-    run(lumas[0])
+    run(lumas[0], n)
     t0 = time.perf_counter()
-    run(lumas[1])
+    run(lumas[1], n)
     t = time.perf_counter() - t0
     v = h * w * n / t / 1e6
-    coll = collectives_per_seam(h)
+    # marginal per-seam cost (fixed init-energy + readback amortized out)
+    run(lumas[0], 2 * n)
+    t0 = time.perf_counter()
+    run(lumas[1], 2 * n)
+    t2 = time.perf_counter() - t0
+    marginal = (t2 - t) / n * 1e3
+    coll = collectives_per_seam(h, fused_apply=True)  # the path that runs
     # measured (not computed) collective count: compile one unrolled seam
-    # step for an 8-way CPU mesh and count collective ops in the HLO
+    # step for an 8-way CPU mesh and count collective ops in the HLO.  The
+    # XLA-form step is measured at the full 8K shape; the kernel-form step
+    # (fused apply: -2 ppermutes) is HLO-measured at test shapes in
+    # tests/test_spatial.py (its plain-jax twins compile too slowly
+    # unrolled at 8K on the host).
     try:
         from jax.sharding import Mesh
         from dct_carver_tpu.parallel.spatial import (
@@ -205,13 +215,13 @@ def bench_config_5(rng):
         cpu8 = jax.devices("cpu")[:8]
         m = measure_collectives_per_seam(
             h, w, Mesh(np.array(cpu8), ("x",)))
-        meas = (f"measured {m['total']}/seam in 8-way HLO "
-                f"({', '.join(f'{k}={v2}' for k, v2 in m['by_op'].items())})")
+        meas = (f"measured {m['total']}/seam in 8-way HLO (XLA form; "
+                f"{', '.join(f'{k}={v2}' for k, v2 in m['by_op'].items())})")
     except Exception as e:
         meas = f"HLO measurement failed: {type(e).__name__}"
     _log(f"# config5 8K spatial ({nsh} shard(s), {n} seams): {v:.1f} Mpix/s "
-         f"({t:.2f} s); {meas}; designed {coll}/seam "
-         f"(vs {3*h} per-row design)")
+         f"({t:.2f} s, marginal {marginal:.1f} ms/seam); {meas}; "
+         f"kernel-form {coll}/seam (vs {3*h} per-row design)")
     return v
 
 

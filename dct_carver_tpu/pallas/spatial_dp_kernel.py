@@ -119,11 +119,10 @@ def _plain_block_dp(prev2, E2, Kb):
 # ---------------------------------------------------------------- backtrack --
 
 def seg_walk_supported(K: int, delta_x: int = 1) -> bool:
-    return delta_x == 1 and 2 * K + 1 <= LANE
+    return delta_x == 1 and 2 * K + 1 <= 2 * LANE
 
 
-def _make_seg_walk_kernel(Kb: int, ww: int, j0: int):
-    CW = LANE
+def _make_seg_walk_kernel(Kb: int, ww: int, j0: int, CW: int):
 
     def kernel(win_ref, seg_ref):
         inf = jnp.float32(jnp.inf)
@@ -162,13 +161,129 @@ def seg_walk_rows(win: jax.Array, j0: int, *,
     Kb, ww = win.shape
     if interpret is None:
         interpret = _interpret_default()
-    winp = jnp.pad(win, ((0, 0), (0, LANE - ww)),
+    CW = LANE if ww <= LANE else 2 * LANE
+    winp = jnp.pad(win, ((0, 0), (0, CW - ww)),
                    constant_values=jnp.inf)
     seg = pl.pallas_call(
-        _make_seg_walk_kernel(Kb, ww, j0),
+        _make_seg_walk_kernel(Kb, ww, j0, CW),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=_out_struct((Kb, 1), jnp.int32, win),
         interpret=interpret,
     )(winp)
     return seg[:, 0]
+
+
+# ------------------------------------------------------------ fused apply ---
+
+def apply_supported(H: int, Wl: int) -> bool:
+    return H % 8 == 0 and Wl % LANE == 0
+
+
+def _apply_row_block(H: int, Wl: int) -> int:
+    for R in (64, 56, 48, 40, 32, 24, 16, 8):
+        if H % R == 0 and 8 * R * Wl * 4 <= 6 * 1024 * 1024:
+            return R
+    return 8
+
+
+def _make_sharded_apply_kernel(Wl: int):
+    def kernel(scal_ref, seam_ref, edge_ref, inc_ref, luma_ref, oc_ref,
+               e_ref, luma_out, oc_out, e_out):
+        new_width = scal_ref[0]
+        lo = scal_ref[1]
+        R = luma_ref.shape[0]
+        colids = jax.lax.broadcasted_iota(jnp.int32, (1, Wl), 1)
+        col_g = lo + colids
+        seam_blk = seam_ref[:, :]          # (R, 1) i32
+        keep = col_g < seam_blk
+        last = colids == Wl - 1
+
+        def compact(x, inc_col):
+            sh = pltpu.roll(x, Wl - 1, axis=1)
+            sh = jnp.where(last, inc_col, sh)
+            return jnp.where(keep, x, sh)
+
+        luma = compact(luma_ref[:, :], inc_ref[:, 0:1])
+        luma_out[:, :] = jnp.where(col_g >= new_width, edge_ref[:, :], luma)
+        e_out[:, :] = compact(e_ref[:, :], inc_ref[:, 1:2])
+        oc_i = oc_ref[:, :]
+        inc_oc = pltpu.bitcast(inc_ref[:, 2:3], jnp.int32)
+        sh = pltpu.roll(oc_i, Wl - 1, axis=1)
+        sh = jnp.where(last, inc_oc, sh)
+        oc_out[:, :] = jnp.where(keep, oc_i, sh)
+
+    return kernel
+
+
+def sharded_apply_rows(luma, oc, E, seam, edge, incoming, new_width, lo, *,
+                       interpret: bool | None = None):
+    """Per-shard fused seam application: compact luma/origcol/energy around
+    `seam` and edge-fill the luma dead region, in ONE read+write pass per
+    buffer (the XLA form is 3 roll+select passes + an edge-fill pass).
+
+    luma/E (H, Wl) f32, oc (H, Wl) i32, seam (H,) i32 GLOBAL columns,
+    edge (H,) f32 new-edge fill value, incoming (H, 3) f32 the right
+    neighbor's first column of [luma, E, bitcast(origcol)], new_width () i32
+    (logical width AFTER removal), lo () i32 this shard's first global
+    column.  Bitwise identical to _sharded_remove + _sharded_edge_fill."""
+    H, Wl = luma.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    scal = jnp.stack([jnp.asarray(new_width, jnp.int32),
+                      jnp.asarray(lo, jnp.int32)])
+    if interpret:
+        return _plain_sharded_apply(luma, oc, E, seam, edge, incoming,
+                                    scal[0], scal[1])
+    R = _apply_row_block(H, Wl)
+    nb = H // R
+    blk = lambda g: (g, 0)
+    outs = pl.pallas_call(
+        _make_sharded_apply_kernel(Wl),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 3), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            _out_struct((H, Wl), jnp.float32, luma),
+            _out_struct((H, Wl), jnp.int32, luma),
+            _out_struct((H, Wl), jnp.float32, luma),
+        ],
+        interpret=False,
+    )(scal, seam[:, None], edge[:, None], incoming, luma, oc, E)
+    return outs
+
+
+def _plain_sharded_apply(luma, oc, E, seam, edge, incoming, new_width, lo):
+    """Same op sequence as the kernel in plain jax (roll/select only — exact
+    on every backend)."""
+    H, Wl = luma.shape
+    colids = jnp.arange(Wl, dtype=jnp.int32)[None, :]
+    col_g = lo + colids
+    keep = col_g < seam[:, None]
+    last = colids == Wl - 1
+
+    def compact(x, inc_col):
+        sh = jnp.roll(x, -1, axis=1)
+        sh = jnp.where(last, inc_col, sh)
+        return jnp.where(keep, x, sh)
+
+    luma_c = compact(luma, incoming[:, 0:1])
+    luma_o = jnp.where(col_g >= new_width, edge[:, None], luma_c)
+    e_o = compact(E, incoming[:, 1:2])
+    inc_oc = jax.lax.bitcast_convert_type(incoming[:, 2:3], jnp.int32)
+    sh = jnp.roll(oc, -1, axis=1)
+    sh = jnp.where(last, inc_oc, sh)
+    oc_o = jnp.where(keep, oc, sh)
+    return luma_o, oc_o, e_o

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dp_kernel import _interpret_default
+from .spatial_dp_kernel import _out_struct
 
 __all__ = ["gather_slabs", "scatter_strips", "strip_pallas_supported",
            "strip_energy_pallas"]
@@ -121,25 +122,35 @@ def _gather_slabs_batched(lp: jax.Array, bs: jax.Array, slab_rows: int, *,
     (B, nb, slab_rows, WIN).  One kernel launch over B*nb grid steps."""
     B, Hp, Wl = lp.shape
     nb = int(bs.shape[1])
+    out = _gather_slabs_call(
+        lp.reshape(B * Hp, Wl), bs.astype(jnp.int32).reshape(B * nb),
+        slab_rows, row_block, nb, Hp, interpret)
+    return out.reshape(B, nb, slab_rows, WIN)
+
+
+def _gather_slabs_call(lp2, bs1, slab_rows, row_block, blocks_per_image,
+                       stride, interpret=None):
+    """Raw (un-jitted) kernel invocation — also usable inside shard_map
+    (propagates the varying-axes type onto the output)."""
     if interpret is None:
         interpret = _interpret_default()
-    out = pl.pallas_call(
-        _make_gather_kernel(slab_rows, row_block, nb, Hp),
-        grid=(B * nb,),
+    n_blocks = bs1.shape[0]
+    return pl.pallas_call(
+        _make_gather_kernel(slab_rows, row_block, blocks_per_image, stride),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((slab_rows, WIN), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * nb * slab_rows, WIN), jnp.float32),
+        out_shape=_out_struct((n_blocks * slab_rows, WIN), jnp.float32, lp2),
         scratch_shapes=[
             pltpu.VMEM((2, slab_rows, WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(bs.astype(jnp.int32).reshape(B * nb), lp.reshape(B * Hp, Wl))
-    return out.reshape(B, nb, slab_rows, WIN)
+    )(bs1, lp2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -258,11 +269,20 @@ def _scatter_strips_batched(E: jax.Array, strips: jax.Array, bs: jax.Array,
     blocks never straddle images."""
     B, H, W = E.shape
     nb = int(bs.shape[1])
+    out = _scatter_strips_call(
+        E.reshape(B * H, W), strips.reshape(B * nb * row_block, WIN),
+        bs.astype(jnp.int32).reshape(B * nb), swb, row_block, interpret)
+    return out.reshape(B, H, W)
+
+
+def _scatter_strips_call(E2, strips2, bs1, swb, row_block, interpret=None):
+    """Raw (un-jitted) kernel invocation — also usable inside shard_map."""
     if interpret is None:
         interpret = _interpret_default()
-    out = pl.pallas_call(
+    n_blocks = bs1.shape[0]
+    return pl.pallas_call(
         _make_scatter_kernel(swb, row_block),
-        grid=(B * nb,),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((row_block, WIN), lambda g: (g, 0),
@@ -270,7 +290,7 @@ def _scatter_strips_batched(E: jax.Array, strips: jax.Array, bs: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B * H, W), jnp.float32),
+        out_shape=_out_struct(E2.shape, jnp.float32, E2),
         input_output_aliases={2: 0},
         scratch_shapes=[
             pltpu.VMEM((2, row_block, WIN), jnp.float32),
@@ -278,9 +298,7 @@ def _scatter_strips_batched(E: jax.Array, strips: jax.Array, bs: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(bs.astype(jnp.int32).reshape(B * nb),
-      strips.reshape(B * nb * row_block, WIN), E.reshape(B * H, W))
-    return out.reshape(B, H, W)
+    )(bs1, strips2, E2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -353,15 +371,25 @@ def _strip_energy_batched(slabs, n, edges, textures, R,
     rotated slab tail) are garbage — the scatter's lane mask discards them,
     exactly like the XLA bands path discarded columns beyond swb."""
     B, nb, slab_rows, _ = slabs.shape
+    out = _strip_energy_call(
+        slabs.reshape(B * nb * slab_rows, WIN), n, edges, textures, R,
+        slab_rows, interpret)
+    return out.reshape(B, nb, R, WIN)
+
+
+def _strip_energy_call(slabs2, n, edges, textures, R, slab_rows,
+                       interpret=None):
+    """Raw (un-jitted) kernel invocation — also usable inside shard_map."""
     if interpret is None:
         interpret = _interpret_default()
+    n_blocks = slabs2.shape[0] // slab_rows
     fscal = jnp.stack([
         jnp.asarray(edges, jnp.float32),
         jnp.asarray(textures, jnp.float32),
     ])
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _make_strip_energy_kernel(n, R),
-        grid=(B * nb,),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((slab_rows, WIN), lambda g: (g, 0),
@@ -369,10 +397,9 @@ def _strip_energy_batched(slabs, n, edges, textures, R,
         ],
         out_specs=pl.BlockSpec((R, WIN), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * nb * R, WIN), jnp.float32),
+        out_shape=_out_struct((n_blocks * R, WIN), jnp.float32, slabs2),
         interpret=interpret,
-    )(fscal, slabs.reshape(B * nb * slab_rows, WIN))
-    return out.reshape(B, nb, R, WIN)
+    )(fscal, slabs2)
 
 
 @functools.lru_cache(maxsize=None)

@@ -53,11 +53,13 @@ from jax import shard_map
 from ..ops.dct import energy_from_bands
 from ..ops.dp import _rigidity_penalties, _shift_row
 from ..pallas.spatial_dp_kernel import (block_dp_rows, block_dp_supported,
-                                        seg_walk_rows, seg_walk_supported)
+                                        seg_walk_rows, seg_walk_supported,
+                                        sharded_apply_rows, apply_supported)
 from ..ops.carve import _strip_bounds, _strip_block_dims, min_strip_width
 from .mesh import make_mesh
 
-__all__ = ["spatial_carve_n_seams", "spatial_make_state",
+__all__ = ["spatial_carve_n_seams", "spatial_enlarge_n_seams",
+           "spatial_make_state",
            "SpatialCarveResult", "SpatialCarveState",
            "collectives_per_seam"]
 
@@ -66,17 +68,20 @@ STRIP_ROWS = 8       # rows per strip-update block (R)
 
 
 def collectives_per_seam(H: int, K: int = FRONTIER_BLOCK,
-                         blocked: bool = True) -> int:
+                         blocked: bool = True,
+                         fused_apply: bool = False) -> int:
     """Collective-op count per carved seam (single-hop halo regime).
 
     Blocked design: 2 ppermutes per K-row DP block, 1 psum per K-row
     backtrack segment + 2 pmin (global argmin), 2 ppermutes (strip halo),
-    3 ppermutes (compaction), 2 psums (edge fill + vmap bookkeeping).
+    compaction + edge fill (3 ppermutes + 1 psum, or with the fused
+    Pallas apply 1 packed ppermute + 1 psum), 1 psum (vmap bookkeeping).
     Per-row design (for comparison): 2 ppermutes per DP row + 1 psum per
     backtrack row."""
     nb = -(-H // K)
     if blocked:
-        return 2 * nb + (nb + 2) + 2 + 3 + 2
+        apply = (1 + 1) if fused_apply else (3 + 1)
+        return 2 * nb + (nb + 2) + 2 + apply + 1
     return 3 * H
 
 
@@ -391,6 +396,81 @@ def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
     return out.reshape(nb * R, Wl + 2 * swb)[:H, swb:swb + Wl]
 
 
+def _spatial_strip_pallas_ok(H: int, Wl: int, n: int, delta_x: int,
+                             R: int = STRIP_ROWS) -> bool:
+    """Static gate for the Pallas sharded strip path (window kernels)."""
+    swb, gwb = _strip_block_dims(n, delta_x, R)
+    return (H % R == 0 and Wl % 128 == 0 and Wl >= 256
+            and gwb <= 128 and swb <= 128)
+
+
+def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
+                                 edges, textures, W: int, axis,
+                                 R: int = STRIP_ROWS, delta_x: int = 1):
+    """Pallas-windowed variant of `_sharded_strip_update`: identical values
+    at every owned live column (same halo, same slab values, same energy
+    chains), with the vmapped dynamic_slice gather / dynamic_update_slice
+    scatter replaced by the 256-lane window kernels of
+    pallas/strip_kernel.py (~6.1 -> ~2 ms/seam at 8K).  Cross-boundary
+    blocks scatter into a 128-lane discardable halo frame, mirroring the
+    XLA path's swb-padded frame."""
+    from ..pallas.strip_kernel import (WIN, _gather_slabs_call,
+                                      _scatter_strips_call,
+                                      _strip_energy_call)
+
+    H, Wl = luma_l.shape
+    n = blocksize
+    r = n // 2
+    idx = _axis_index(axis)
+    lo = idx * Wl
+
+    start, _ = _strip_bounds(seam, n, W, delta_x)      # (H,) global
+    nb = H // R
+    swb, gwb = _strip_block_dims(n, delta_x, R)
+    bs = jnp.clip(jnp.min(start.reshape(nb, R), axis=1),
+                  0, max(W - swb, 0))                  # (nb,) global
+
+    # halo-extended luma covering every slab that can overlap this shard
+    HL, HR = swb + r - 1, swb + r
+    ext = _edge_clamped_halo(luma_l, HL, HR, W, axis)  # (H, ext_w)
+    ext_w = Wl + HL + HR
+    # window-gather buffer: rows padded like the single-device lp; lanes
+    # padded right by >= WIN so the 128-aligned window start never clamps
+    # (pad values replicate the edge-clamped last halo column — windows
+    # clipped to [0, ext_w - gwb] never read them in valid lanes)
+    slab_rows = -(-(R + n - 1) // 8) * 8
+    Wlp = -(-(ext_w + WIN) // 128) * 128
+    pad_bot = slab_rows - R - (r - 1)
+    lp = jnp.pad(ext, ((r - 1, pad_bot), (0, Wlp - ext_w)), mode="edge")
+    # slab start in ext cols: global bs - (r-1) -> bs - lo + HL - (r-1)
+    es = jnp.clip(bs + swb - lo, 0, ext_w - gwb).astype(jnp.int32)
+    slab256 = _gather_slabs_call(lp, es, slab_rows, R, nb, lp.shape[0])
+    slab256 = slab256.reshape(nb, slab_rows, WIN)
+
+    if n >= 16 and jax.default_backend() == "tpu":
+        strips = _strip_energy_call(
+            slab256.reshape(nb * slab_rows, WIN), n, edges, textures, R,
+            slab_rows).reshape(nb, R, WIN)
+    else:
+        bands = jnp.stack(
+            [slab256[:, rr: rr + n, :gwb] for rr in range(R)], axis=1)
+        strip_E = energy_from_bands(
+            bands.reshape(nb * R, n, gwb), n, edges, textures
+        ).astype(jnp.float32).reshape(nb, R, swb)
+        strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, WIN - swb)))
+
+    # scatter into a 128-lane halo frame per side: blocks overlapping this
+    # shard write their overlap at the right columns; non-overlapping
+    # blocks land entirely in the discardable halo (ts clamps keep them
+    # there because swb <= 128)
+    PADL = 128
+    Ep = jnp.pad(E_shift, ((0, 0), (PADL, PADL)))
+    ts = jnp.clip(bs - lo + PADL, 0, Wl + 2 * PADL - swb).astype(jnp.int32)
+    out = _scatter_strips_call(
+        Ep, strips.reshape(nb * R, WIN), ts, swb, R)
+    return out[:, PADL:PADL + Wl]
+
+
 # ------------------------------------------------------------- removal ------
 
 def _sharded_remove(local, seam, axis):
@@ -457,17 +537,48 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
     vmap_l = vmap_l.at[rows, upd_cols].set(jnp.where(v_owned, label, cur))
 
     width = width - 1
-    luma_l = _sharded_edge_fill(
-        _sharded_remove(luma_l, seam, axis), width, axis
-    )
-    origcol_l = _sharded_remove(origcol_l, seam, axis)
+    if use_pallas and apply_supported(H, Wl):
+        # fused apply: ONE packed ppermute ships all three boundary columns,
+        # ONE psum broadcasts the two new-edge candidates, and the kernel
+        # compacts luma/origcol/energy + edge-fills in one pass per buffer
+        # (bitwise == _sharded_remove + _sharded_edge_fill)
+        incoming = _from_right(jnp.concatenate([
+            luma_l[:, :1], E_l[:, :1],
+            jax.lax.bitcast_convert_type(origcol_l[:, :1], jnp.float32),
+        ], axis=1), axis)                              # (H, 3)
+        # edge = where(seam == new_width, pre[new_width-1], pre[new_width])
+        cand = []
+        for c in (width, width - 1):
+            lic = c - lo
+            ow = (lic >= 0) & (lic < Wl)
+            cand.append(jnp.where(
+                ow, jnp.take(luma_l, jnp.clip(lic, 0, Wl - 1), axis=1), 0.0))
+        v1, v2 = jax.lax.psum(jnp.stack(cand, axis=1), axis).T
+        edge = jnp.where(seam == width, v2, v1)
+        luma_l, origcol_l, E_shift = sharded_apply_rows(
+            luma_l, origcol_l, E_l, seam, edge, incoming, width, lo)
+    else:
+        luma_l = _sharded_edge_fill(
+            _sharded_remove(luma_l, seam, axis), width, axis
+        )
+        origcol_l = _sharded_remove(origcol_l, seam, axis)
+        E_shift = None
     if with_image:
         img_l = _sharded_remove(img_l, seam, axis)
     if strip_update:
-        E_l = _sharded_strip_update(
-            luma_l, _sharded_remove(E_l, seam, axis), seam,
-            blocksize, edges, textures, W, axis, delta_x=delta_x,
-        )
+        if E_shift is None:
+            E_shift = _sharded_remove(E_l, seam, axis)
+        n_eff = blocksize
+        if use_pallas and _spatial_strip_pallas_ok(H, Wl, n_eff, delta_x):
+            E_l = _sharded_strip_update_pallas(
+                luma_l, E_shift, seam, blocksize, edges, textures, W,
+                axis, delta_x=delta_x,
+            )
+        else:
+            E_l = _sharded_strip_update(
+                luma_l, E_shift, seam, blocksize, edges, textures, W,
+                axis, delta_x=delta_x,
+            )
     else:
         E_l = _sharded_energy(luma_l, blocksize, edges, textures, W, axis)
     return (luma_l, img_l, origcol_l, vmap_l, E_l, width)
@@ -486,6 +597,7 @@ def measure_collectives_per_seam(
     strip_update: bool = True,
     delta_x: int = 1,
     rigidity: float = 0.0,
+    use_pallas: bool = False,
 ):
     """MEASURED collective count per carved seam: compile one unrolled seam
     step through the real shard_map lowering and count the collective ops in
@@ -510,13 +622,14 @@ def measure_collectives_per_seam(
         out = _spatial_seam_step(st, jnp.int32(1), blocksize, edges,
                                  textures, W, Wl, K, strip_update, False,
                                  axis, unroll=True, delta_x=delta_x,
-                                 rigidity=rigidity)
+                                 rigidity=rigidity, use_pallas=use_pallas)
         return out[0], out[2], out[3], out[4], out[5][None]
 
     f = jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(spec, spec, spec, spec, P(axis)),
         out_specs=(spec, spec, spec, spec, P(axis)),
+        check_vma=False,
     ))
     f32 = jax.ShapeDtypeStruct((H, W), jnp.float32)
     i32 = jax.ShapeDtypeStruct((H, W), jnp.int32)
@@ -528,11 +641,155 @@ def measure_collectives_per_seam(
     by_op = {
         op: len(re.findall(rf"\b{op}(?:-start)?\(", txt)) for op in ops
     }
+    fused = use_pallas and apply_supported(H, W // nsh)
     return {
         "total": sum(by_op.values()),
         "by_op": {k: v for k, v in by_op.items() if v},
-        "designed": collectives_per_seam(H, K),
+        "designed": collectives_per_seam(H, K, fused_apply=fused),
     }
+
+
+
+# ------------------------------------------------------------ enlargement ---
+
+def _sharded_enlarge(img_l, vmap_l, n_seams: int, W: int, Wlo: int, axis):
+    """Per-shard sharded enlargement reconstruction (liblqr positive-seam
+    semantics, src/render.c:344-364): every seam pixel is followed by a
+    duplicate equal to the rounded mean of itself and its right ORIGINAL
+    neighbor (border-clamped) — identical values to
+    `ops.carve.reconstruct_enlarged` (asserted in tests).
+
+    img_l (H, Wl[, C]) ORIGINAL image columns, vmap_l (H, Wl) i32 visibility
+    map in original coordinates, Wlo = output columns per shard.  Output
+    positions are computed with a global per-row prefix sum of seam flags
+    (one all_gather of per-shard row totals), and each shard gathers the
+    halo of original columns its output range can draw from (src(p) is
+    within n_seams columns of p)."""
+    idx = _axis_index(axis)
+    nsh = jax.lax.axis_size(axis)
+    H, Wl = img_l.shape[:2]
+    lo = idx * Wl
+    lo_out = idx * Wlo
+    col_g = lo + jnp.arange(Wl)[None, :]
+
+    sflag = (vmap_l > 0).astype(jnp.int32)             # (H, Wl)
+    local_cum = jnp.cumsum(sflag, axis=1)
+    totals = local_cum[:, -1]                          # (H,)
+    all_tot = jax.lax.all_gather(totals, axis)         # (nsh, H)
+    shard_ids = jnp.arange(nsh)[:, None]
+    left = jnp.sum(jnp.where(shard_ids < idx, all_tot, 0), axis=0)  # (H,)
+    offs_excl = local_cum - sflag + left[:, None]
+    pos = col_g + offs_excl                            # (H, Wl) out position
+
+    # halo of original columns: src(p) in [p - n_seams, p]
+    HN_l = n_seams
+    HN_r = n_seams + nsh
+    ext_pos = _halo_gather(pos, HN_l, HN_r, axis)
+    ext_s = _halo_gather(sflag, HN_l, HN_r, axis)
+    if img_l.ndim == 3:
+        C = img_l.shape[2]
+        ext_img = jnp.stack([
+            _halo_gather(img_l[..., c], HN_l, HN_r, axis) for c in range(C)
+        ], axis=-1)
+    else:
+        ext_img = _halo_gather(img_l, HN_l, HN_r, axis)
+    We2 = Wl + HN_l + HN_r
+    ecol_g = lo - HN_l + jnp.arange(We2)[None, :]      # original col per slot
+    big = jnp.int32(1) << 30
+    # invalid halo slots sort strictly below/above every real position
+    ext_pos = jnp.where(ecol_g < 0, -big + jnp.arange(We2)[None, :], ext_pos)
+    ext_pos = jnp.where(ecol_g > W - 1, big + jnp.arange(We2)[None, :],
+                        ext_pos)
+
+    # src slot for each of my output positions: rightmost slot with
+    # pos <= p (positions are strictly increasing per row)
+    p_out = lo_out + jnp.arange(Wlo)                    # (Wlo,) global
+    srch = jax.vmap(lambda row: jnp.searchsorted(
+        row, p_out, side="right").astype(jnp.int32) - 1)
+    i_src = jnp.clip(srch(ext_pos), 0, We2 - 1)         # (H, Wlo)
+
+    take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
+    src_pos = take(ext_pos, i_src)
+    src_s = take(ext_s, i_src)
+    src_c = take(jnp.broadcast_to(ecol_g, ext_pos.shape), i_src)
+    is_dup = (p_out[None, :] == src_pos + 1) & (src_s == 1)
+
+    i_nbr = jnp.clip(jnp.where(src_c >= W - 1, i_src, i_src + 1), 0, We2 - 1)
+    if img_l.ndim == 3:
+        g3 = lambda i: take(ext_img.reshape(H, We2 * C),
+                            (i[..., None] * C
+                             + jnp.arange(C)[None, None, :]).reshape(H, -1)
+                            ).reshape(H, Wlo, C)
+        a = g3(i_src)
+        b = g3(i_nbr)
+        dup = is_dup[..., None]
+    else:
+        a = take(ext_img, i_src)
+        b = take(ext_img, i_nbr)
+        dup = is_dup
+    if jnp.issubdtype(img_l.dtype, jnp.integer):
+        avg = ((a.astype(jnp.int32) + b.astype(jnp.int32) + 1) // 2
+               ).astype(img_l.dtype)
+    else:
+        avg = (a + b) / 2
+    return jnp.where(dup, avg, a)
+
+
+def spatial_enlarge_n_seams(
+    luma,
+    n_seams: int,
+    image,
+    *,
+    blocksize: int = 8,
+    edges: float = 0.0,
+    textures: float = 1.0,
+    mesh: Mesh | None = None,
+    axis: str = "x",
+    frontier_block: int = FRONTIER_BLOCK,
+    strip_update: bool = True,
+    delta_x: int = 1,
+    rigidity: float = 0.0,
+    use_pallas: bool | None = None,
+) -> SpatialCarveResult:
+    """ENLARGE a column-sharded image by `n_seams` (the positive-seams mode
+    of the reference, src/render.c:344-364): find n removal seams on a copy,
+    then insert a duplicate after every seam pixel (rounded-mean values,
+    liblqr semantics).  The seam search runs the full sharded carve; the
+    insertion is a sharded gather driven by a global per-row prefix sum of
+    seam flags (one all_gather) — no host gather at any point.  Returns a
+    SpatialCarveResult whose .image is (H, W + n_seams[, C]) and .vmap the
+    seam map in original coordinates; identical output to
+    `ops.carve.reconstruct_enlarged` on the single-device vmap."""
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis)
+    nsh = mesh.shape[axis]
+    H, W = luma.shape[:2]
+    res = spatial_carve_n_seams(
+        luma, n_seams, blocksize=blocksize, edges=edges, textures=textures,
+        mesh=mesh, axis=axis, frontier_block=frontier_block,
+        strip_update=strip_update, delta_x=delta_x, rigidity=rigidity,
+        use_pallas=use_pallas,
+    )
+    image = jnp.asarray(image)
+    pad_in = (-W) % nsh
+    if pad_in:
+        pw = ((0, 0), (0, pad_in)) + ((0, 0),) * (image.ndim - 2)
+        image = jnp.pad(image, pw, mode="edge")
+    ispec = P(None, axis, None) if image.ndim == 3 else P(None, axis)
+    image = jax.device_put(image, NamedSharding(mesh, ispec))
+    vmap = res.vmap
+    if vmap.shape[1] != image.shape[1]:  # re-pad the (unpadded) vmap
+        vmap = jnp.pad(vmap, ((0, 0), (0, image.shape[1] - vmap.shape[1])))
+    vmap = jax.device_put(vmap, NamedSharding(mesh, P(None, axis)))
+
+    Wlo = -(-(W + n_seams) // nsh)
+    out = jax.jit(shard_map(
+        lambda im, vm: _sharded_enlarge(im, vm, n_seams, W, Wlo, axis),
+        mesh=mesh, in_specs=(ispec, P(None, axis)), out_specs=ispec,
+        check_vma=False,
+    ), static_argnames=())(image, vmap)
+    return SpatialCarveResult(res.vmap, jnp.asarray(W + n_seams, jnp.int32),
+                              out[:, : W + n_seams])
 
 
 # --------------------------------------------------------------- driver -----
@@ -608,11 +865,15 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
     spec = P(None, axis)
     img_spec = (P(None, axis, None)
                 if (with_image and state.image.ndim == 3) else spec)
+    # check_vma=False: the Pallas window kernels inside (strip gather /
+    # scatter) contain floor-div sign conds whose sub-jaxprs acquire pvary
+    # ops under vma tracing, which the Mosaic lowering rejects
     shard = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(spec, img_spec, spec, spec, spec, P(axis), P(axis)),
         out_specs=(spec, img_spec, spec, spec, spec, P(axis)),
+        check_vma=False,
     )
     rep = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.int32), (nsh,))
     luma, img, origcol, vmap, energy, widths = shard(
