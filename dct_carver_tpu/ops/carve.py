@@ -222,11 +222,7 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
                  mode="edge")
 
     slab256 = gather_slabs(lp, bs, slab_rows, row_block=R)  # (nb, slab_rows, 256)
-    # fused chains pay only when the atom count is large: at n=16 (255
-    # atoms) VMEM residency beats XLA 2x+ (config 3: 1.78 -> ~0.6 ms/seam);
-    # at n=8 the fixed 256-lane window does ~2x the lane work of the
-    # 82-lane XLA bands and measured a net loss on the batch path
-    if energy_fn is None and n >= 16 and jax.default_backend() == "tpu":
+    if energy_fn is None and jax.default_backend() == "tpu":
         strips = strip_energy_pallas(slab256, n, edges, textures, R)
     else:
         bands = jnp.stack(

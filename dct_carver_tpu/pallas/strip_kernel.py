@@ -343,7 +343,7 @@ def scatter_strips(E: jax.Array, strips: jax.Array, bs: jax.Array, swb: int,
 
 # ------------------------------------------------------------ strip energy --
 
-def _make_strip_energy_kernel(n: int, R: int):
+def _make_strip_energy_kernel(n: int, R: int, cwin: int = LANE):
     import numpy as np
     from .energy_kernel import _energy_chain_ops
     from ..ops.dct import _dct_matrix_np
@@ -351,8 +351,11 @@ def _make_strip_energy_kernel(n: int, R: int):
     D = np.asarray(_dct_matrix_np(n), np.float32)
 
     def kernel(fscal_ref, slab_ref, out_ref):
+        # compute on the first `cwin` lanes only: every tap of every valid
+        # output lane (t < swb, taps < gwb <= 128) lives there — half the
+        # chain work of the full 256-lane window
         out_ref[:, :] = _energy_chain_ops(
-            D, n, R, WIN, lambda dy: slab_ref[dy : dy + R, :],
+            D, n, R, cwin, lambda dy: slab_ref[dy : dy + R, :cwin],
             fscal_ref[0], fscal_ref[1],
         )
 
@@ -374,12 +377,15 @@ def _strip_energy_batched(slabs, n, edges, textures, R,
     out = _strip_energy_call(
         slabs.reshape(B * nb * slab_rows, WIN), n, edges, textures, R,
         slab_rows, interpret)
+    out = jnp.pad(out, ((0, 0), (0, WIN - LANE)))
     return out.reshape(B, nb, R, WIN)
 
 
 def _strip_energy_call(slabs2, n, edges, textures, R, slab_rows,
-                       interpret=None):
-    """Raw (un-jitted) kernel invocation — also usable inside shard_map."""
+                       interpret=None, cwin=LANE):
+    """Raw (un-jitted) kernel invocation — also usable inside shard_map.
+    Output is (n_blocks * R, cwin); valid lanes [0, swb) require
+    gwb <= cwin."""
     if interpret is None:
         interpret = _interpret_default()
     n_blocks = slabs2.shape[0] // slab_rows
@@ -388,16 +394,16 @@ def _strip_energy_call(slabs2, n, edges, textures, R, slab_rows,
         jnp.asarray(textures, jnp.float32),
     ])
     return pl.pallas_call(
-        _make_strip_energy_kernel(n, R),
+        _make_strip_energy_kernel(n, R, cwin),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((slab_rows, WIN), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, WIN), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((R, cwin), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((n_blocks * R, WIN), jnp.float32, slabs2),
+        out_shape=_out_struct((n_blocks * R, cwin), jnp.float32, slabs2),
         interpret=interpret,
     )(fscal, slabs2)
 

@@ -450,7 +450,8 @@ def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
     if n >= 16 and jax.default_backend() == "tpu":
         strips = _strip_energy_call(
             slab256.reshape(nb * slab_rows, WIN), n, edges, textures, R,
-            slab_rows).reshape(nb, R, WIN)
+            slab_rows)
+        strips = jnp.pad(strips, ((0, 0), (0, WIN - 128))).reshape(nb, R, WIN)
     else:
         bands = jnp.stack(
             [slab256[:, rr: rr + n, :gwb] for rr in range(R)], axis=1)
