@@ -213,8 +213,14 @@ def bench_config_5(rng):
         )
 
         cpu8 = jax.devices("cpu")[:8]
-        m = measure_collectives_per_seam(
-            h, w, Mesh(np.array(cpu8), ("x",)))
+        # keep the persistent cache out of the CPU-mesh compile: AOT
+        # results cached on a different host spew feature-mismatch errors
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            m = measure_collectives_per_seam(
+                h, w, Mesh(np.array(cpu8), ("x",)))
+        finally:
+            jax.config.update("jax_enable_compilation_cache", True)
         meas = (f"measured {m['total']}/seam in 8-way HLO (XLA form; "
                 f"{', '.join(f'{k}={v2}' for k, v2 in m['by_op'].items())})")
     except Exception as e:

@@ -57,33 +57,64 @@ def barrier(name: str = "startup") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+_probe = None  # (thread, outcome) — at most ONE outstanding probe collective
+
+
 def process_health(timeout: float = 30.0) -> dict:
     """Timeout-based liveness probe.
 
-    A collective over live processes can only complete or hang, so "alive
-    count" is not observable directly; the observable signal is WHETHER the
-    collective completes within a deadline.  The allgather runs in a worker
-    thread; if it does not finish within `timeout` seconds, some peer is
-    down/wedged and the probe reports unhealthy.  (The orphaned thread is
-    left to the coordination-service timeout — detection is non-destructive.)
+    A collective over live processes can only complete, fail, or hang; the
+    observable health signal is whether it completes within a deadline.
+    The allgather runs in a worker thread: completion within `timeout` =
+    healthy; a raised transport/coordination error = unhealthy with the
+    error surfaced (`error`); no result within the deadline = unhealthy
+    with `timed_out`.
+
+    A timed-out probe's collective cannot be cancelled, so its thread stays
+    blocked until the peer recovers or the coordination service gives up.
+    At most ONE such thread ever exists: repeated probes of a wedged job
+    wait on the outstanding collective instead of stacking new threads
+    (`probe_pending` reports that state); a recovered peer unwedges it,
+    after which fresh probes run again.
     """
+    global _probe
     if not is_distributed():
-        return {"processes": 1, "healthy": True, "timed_out": False}
+        return {"processes": 1, "healthy": True, "timed_out": False,
+                "probe_pending": False, "error": None}
     import threading
 
     from jax.experimental import multihost_utils
 
-    done = threading.Event()
+    def report(t, outcome):
+        global _probe
+        pending = t.is_alive()
+        _probe = (t, outcome) if pending else None
+        return {
+            "processes": jax.process_count(),
+            "healthy": (not pending) and outcome.get("ok", False),
+            "timed_out": pending,
+            "probe_pending": pending,
+            "error": outcome.get("error"),
+        }
 
-    def probe():
-        multihost_utils.process_allgather(np.ones((1,), np.int32))
-        done.set()
+    if _probe is not None:
+        # previous probe still blocked in its collective: wait on IT
+        t, outcome = _probe
+        t.join(timeout)
+        if t.is_alive():
+            return report(t, outcome)
+        _probe = None  # consumed; fall through to a fresh probe
 
-    t = threading.Thread(target=probe, daemon=True)
+    outcome = {}
+
+    def run():
+        try:
+            multihost_utils.process_allgather(np.ones((1,), np.int32))
+            outcome["ok"] = True
+        except Exception as e:  # transport/coordination failure = peer down
+            outcome["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=run, daemon=True)
     t.start()
-    ok = done.wait(timeout)
-    return {
-        "processes": jax.process_count(),
-        "healthy": ok,
-        "timed_out": not ok,
-    }
+    t.join(timeout)
+    return report(t, outcome)

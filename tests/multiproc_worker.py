@@ -56,7 +56,10 @@ def main():
 
             time.sleep(1.0)
             h = multihost.process_health(timeout=4.0)
-            assert h["timed_out"] and not h["healthy"], h
+            # a SIGKILLed peer surfaces either as a transport error
+            # (fail-fast) or as a timeout — both are unhealthy
+            assert not h["healthy"], h
+            assert h["timed_out"] or h["error"], h
             log("HEALTH_DEAD_PEER_OK")
         else:
             import time
@@ -129,6 +132,15 @@ def main():
         h = multihost.process_health(timeout=2.5)
         assert h["timed_out"] and not h["healthy"], h
         log("HEALTH_TIMEOUT_OK")
+        # probing a wedged job again must NOT stack threads: the second
+        # probe waits on the same outstanding collective
+        import threading
+
+        n_thr = threading.active_count()
+        h2 = multihost.process_health(timeout=0.5)
+        assert h2["timed_out"] and h2["probe_pending"], h2
+        assert threading.active_count() == n_thr
+        log("PROBE_REUSE_OK")
         time.sleep(6.0)  # let the wedged peer release the orphaned probe
     else:
         time.sleep(6.0)

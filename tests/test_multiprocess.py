@@ -57,6 +57,7 @@ def test_two_process_spatial_carve_checkpoint_health(tmp_path):
                        "RESUME_OK", "HEALTH_OK", "DONE"):
             assert marker in out, f"proc {i} missing {marker}\n{out}\n{err}"
     assert "HEALTH_TIMEOUT_OK" in outs[0][1]
+    assert "PROBE_REUSE_OK" in outs[0][1]
 
 
 def test_two_process_killed_peer_detected(tmp_path):
