@@ -139,3 +139,66 @@ def test_root_serves_html(server):
     base, _ = server
     status, body = _get(base, "/")
     assert status == 200 and b"dct-carver" in body and b"blocksize" in body
+
+
+def test_carve_clamps_excessive_seams(server):
+    """The ±(dim-1) spinbutton clamp (interface.c:374-385) is enforced
+    SERVER-side: an absurd request carves at most dim-1 seams."""
+    base, img = server
+    status, r = _post(base, "/api/carve", {
+        "seams_number": -10**6, "blocksize": 8, "slider": 1.0,
+    })
+    assert status == 200 and r["ok"]
+    assert r["seams"] == -(56 - 1)
+    assert r["width"] == 1
+
+
+def test_slider_coupling_server_side(server):
+    """The single edges<->textures slider (interface.c:631-639: textures=s,
+    edges=1-s) is applied server-side: the persisted last-vals after a carve
+    carry the coupled pair."""
+    base, img = server
+    status, r = _post(base, "/api/carve", {
+        "seams_number": -2, "blocksize": 4, "slider": 0.25,
+    })
+    assert status == 200 and r["ok"]
+    from dct_carver_tpu.utils.settings import load_last_vals
+
+    vals = load_last_vals()
+    assert vals["textures"] == 0.25
+    assert vals["edges"] == 0.75
+
+
+def test_resize_clamps_delta(server):
+    """/resize.png clamps delta to the precomputed ±max_seams range."""
+    base, img = server
+    status, r = _post(base, "/api/precompute", {
+        "max_seams": 4, "blocksize": 8, "slider": 1.0, "vertical": False,
+    })
+    assert status == 200 and r["max_seams"] == 4
+    # delta far beyond the precomputed range clamps to -max_seams
+    status, body = _get(base, "/resize.png?delta=-999")
+    assert status == 200
+    assert _png_to_array(body).shape[1] == 56 - 4
+
+
+def test_precompute_clamps_max_seams(server):
+    """max_seams requests beyond dim-1 clamp (the precompute analog of the
+    spinbutton clamp)."""
+    base, img = server
+    status, r = _post(base, "/api/precompute", {
+        "max_seams": 10**6, "blocksize": 8, "slider": 1.0, "vertical": False,
+    })
+    assert status == 200 and r["max_seams"] == 55
+
+
+def test_html_references_every_endpoint(server):
+    """Contract between app.html's JS and the server: every endpoint the
+    server exposes is actually wired up in the page (and the coupled-slider
+    expression is present client-side too)."""
+    base, _ = server
+    _, html = _get(base, "/")
+    page = html.decode()
+    for ep in ("/api/meta", "/image.png", "/preview.png", "/api/precompute",
+               "/resize.png", "/api/carve"):
+        assert ep in page, f"app.html does not reference {ep}"
