@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+from .utils.i18n import _ as _t
 import time
 
 
@@ -51,12 +53,12 @@ def _run_batch(args) -> int:
         if f.lower().endswith((".png", ".jpg", ".jpeg", ".ppm", ".pgm", ".npy"))
     )
     if not names:
-        print("no images found", file=sys.stderr)
+        print(_t("no images found"), file=sys.stderr)
         return 1
     imgs = [load_image(os.path.join(args.input_dir, f)) for f in names]
     shape = imgs[0].shape
     if any(i.shape != shape for i in imgs):
-        print("batch mode requires identically-sized images", file=sys.stderr)
+        print(_t("batch mode requires identically-sized images"), file=sys.stderr)
         return 1
     if args.vertically:
         imgs = [np.swapaxes(i, 0, 1) for i in imgs]
@@ -210,12 +212,12 @@ def main(argv=None) -> int:
     if args.last_vals:
         stored = load_last_vals()
         if not stored:
-            print("no saved settings; run once without --last-vals first",
+            print(_t("no saved settings; run once without --last-vals first"),
                   file=sys.stderr)
             return 1
         knobs.update({k: v for k, v in stored.items() if k in knobs})
     if knobs["seams_number"] is None:
-        print("--seams is required (or use --last-vals)", file=sys.stderr)
+        print(_t("--seams is required (or use --last-vals)"), file=sys.stderr)
         return 1
 
     from .models.carver import Carver

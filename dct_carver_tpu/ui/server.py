@@ -83,6 +83,8 @@ class CarverApp:
                 defaults[k] = stored[k]
         if "textures" in stored:
             defaults["slider"] = stored["textures"]
+        from ..utils.i18n import _ as _t, get_language
+
         return {
             "width": self.w, "height": self.h,
             "channels": 1 if self.image.ndim == 2 else self.image.shape[2],
@@ -90,6 +92,13 @@ class CarverApp:
             # spinbutton clamp, interface.c:374-385
             "max_seams_w": self.w - 1, "max_seams_h": self.h - 1,
             "defaults": defaults,
+            # localized dialog labels (the gettext surface of
+            # src/interface.c:310-466; utils/i18n.py catalogs)
+            "language": get_language(),
+            "labels": {k: _t(k) for k in (
+                "Edges", "Textures", "Vertically", "Horizontally",
+                "Block size", "Seams", "Output the energy image",
+                "Output the seam map")},
         }
 
     # -- /preview.png (interface.c:523-525 -> render.c:421) ------------------

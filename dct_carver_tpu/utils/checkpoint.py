@@ -275,7 +275,9 @@ def carve_resumable(
         return jax.lax.fori_loop(0, count, body, state)
 
     if progress is not None:
-        progress.init("Resizing width...")
+        from .i18n import _ as _t
+
+        progress.init(_t("Resizing width..."))
     while done < n_seams:
         count = min(chunk, n_seams - done)
         state = jax.block_until_ready(
