@@ -68,6 +68,34 @@ def main():
         sys.stdout.flush()
         os._exit(0)
 
+    if scenario == "scale":
+        # time the marginal per-seam cost of the sharded carve on the
+        # 2-process mesh; the parent compares against a 1-process run of
+        # the same shape at the same device count (controller overhead)
+        import time
+
+        from dct_carver_tpu.parallel.mesh import make_mesh
+        from dct_carver_tpu.parallel.spatial import spatial_carve_n_seams
+
+        rng = np.random.default_rng(0)
+        luma = rng.random((256, 2048), dtype=np.float32)
+        mesh = make_mesh(axis_name="x")
+
+        def run(n):
+            r = spatial_carve_n_seams(luma, n, mesh=mesh)
+            jax.block_until_ready(r.width)
+
+        n = 8
+        run(n)   # compile
+        t0 = time.perf_counter(); run(n); t1 = time.perf_counter() - t0
+        run(2 * n)
+        t0 = time.perf_counter(); run(2 * n); t2 = time.perf_counter() - t0
+        log(f"MARGINAL_MS_PER_SEAM {(t2 - t1) / n * 1e3:.3f}")
+        multihost.barrier("scale-done")
+        log("DONE")
+        sys.stdout.flush()
+        os._exit(0)
+
     # ---- scenario "carve": distributed spatial carve + sharded checkpoint
     from dct_carver_tpu.parallel.mesh import make_mesh
     from dct_carver_tpu.parallel.spatial import spatial_carve_n_seams
