@@ -181,8 +181,10 @@ def apply_supported(H: int, Wl: int) -> bool:
 
 
 def _apply_row_block(H: int, Wl: int) -> int:
+    # 7 in + 3 out (R, Wl)-ish f32 buffers, double-buffered by the pipeline:
+    # keep ~2x the block footprint under the 16 MB VMEM budget
     for R in (64, 56, 48, 40, 32, 24, 16, 8):
-        if H % R == 0 and 8 * R * Wl * 4 <= 6 * 1024 * 1024:
+        if H % R == 0 and 7 * R * Wl * 4 <= 6 * 1024 * 1024:
             return R
     return 8
 

@@ -215,7 +215,10 @@ def _make_scatter_kernel(swb: int, R: int):
 
         def win_dma(i, slot, outgoing):
             bsi = bs_ref[i]
-            wstart = jnp.minimum((bsi // LANE) * LANE, W - WIN)
+            # signed starts supported: blocks whose strip lies (partly)
+            # outside [0, W) clamp their WINDOW into range and mask the
+            # out-of-range lanes below
+            wstart = jnp.clip((bsi // LANE) * LANE, 0, W - WIN)
             wstart = pl.multiple_of(wstart, LANE)
             ew = e_out.at[pl.ds(i * R, R), pl.ds(wstart, WIN)]
             if outgoing:
@@ -240,11 +243,13 @@ def _make_scatter_kernel(swb: int, R: int):
         win_dma(b, slot, False).wait()
 
         bs = bs_ref[b]
-        wstart = jnp.minimum((bs // LANE) * LANE, W - WIN)
-        srem = bs - wstart  # in [0, 128)
+        wstart = jnp.clip((bs // LANE) * LANE, 0, W - WIN)
+        srem = bs - wstart  # signed: negative / >= WIN when bs is outside
 
-        # strip lanes [0, swb) -> window lanes [srem, srem+swb)
-        rot = _rotl(strip_ref[:, :], (WIN - srem) % WIN)
+        # strip lanes [0, swb) -> window lanes [srem, srem+swb); the signed
+        # mask silently drops lanes outside the window (cross-boundary
+        # blocks write only their in-range overlap)
+        rot = _rotl(strip_ref[:, :], jnp.mod(WIN - srem, WIN))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
         in_strip = (lane >= srem) & (lane < srem + swb)
         win[slot] = jnp.where(in_strip, rot, win[slot])

@@ -460,16 +460,12 @@ def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
         ).astype(jnp.float32).reshape(nb, R, swb)
         strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, WIN - swb)))
 
-    # scatter into a 128-lane halo frame per side: blocks overlapping this
-    # shard write their overlap at the right columns; non-overlapping
-    # blocks land entirely in the discardable halo (ts clamps keep them
-    # there because swb <= 128)
-    PADL = 128
-    Ep = jnp.pad(E_shift, ((0, 0), (PADL, PADL)))
-    ts = jnp.clip(bs - lo + PADL, 0, Wl + 2 * PADL - swb).astype(jnp.int32)
-    out = _scatter_strips_call(
-        Ep, strips.reshape(nb * R, WIN), ts, swb, R)
-    return out[:, PADL:PADL + Wl]
+    # scatter directly into the shard's energy buffer: the kernel's signed
+    # window starts mask out-of-shard lanes, so cross-boundary blocks write
+    # exactly their in-range overlap (no padded frame, no slice copy)
+    ts = (bs - lo).astype(jnp.int32)
+    return _scatter_strips_call(E_shift, strips.reshape(nb * R, WIN), ts,
+                                swb, R)
 
 
 # ------------------------------------------------------------- removal ------
