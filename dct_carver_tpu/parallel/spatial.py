@@ -520,18 +520,17 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                               delta_x=delta_x, rigidity=rigidity,
                               use_pallas=use_pallas)  # (H,)
 
-    # record the seam at original coordinates
+    # record the seam at original coordinates — one-hot masked passes (the
+    # row-indexed gather + scatter lower to slow general forms, ~0.9 ms at
+    # 8K vs ~0.3 for the masks; identical values, see ops/carve.py)
     li = seam - lo
-    rows = jnp.arange(H)
-    owned = (li >= 0) & (li < Wl)
-    orig = jnp.where(owned, origcol_l[rows, jnp.clip(li, 0, Wl - 1)], 0)
-    orig = jax.lax.psum(orig, axis)  # global original column (H,)
-    # scatter into the vmap shard that owns each original column
-    oli = orig - lo
-    v_owned = (oli >= 0) & (oli < Wl)
-    upd_cols = jnp.clip(oli, 0, Wl - 1)
-    cur = vmap_l[rows, upd_cols]
-    vmap_l = vmap_l.at[rows, upd_cols].set(jnp.where(v_owned, label, cur))
+    col_l = jnp.arange(Wl, dtype=jnp.int32)[None, :]
+    hit = col_l == li[:, None]       # matches only on the owner shard
+    orig = jax.lax.psum(
+        jnp.sum(jnp.where(hit, origcol_l, 0), axis=1), axis
+    )                                # global original column (H,)
+    # write into the vmap shard that owns each original column
+    vmap_l = jnp.where(col_l == (orig - lo)[:, None], label, vmap_l)
 
     width = width - 1
     if use_pallas and apply_supported(H, Wl):
