@@ -48,70 +48,90 @@ def block_dp_supported(We: int, delta_x: int = 1) -> bool:
     return delta_x == 1 and We % LANE == 0
 
 
-def _make_block_dp_kernel(Kb: int, W2: int):
-    # inputs arrive pre-widened by a +inf LANE tail: rolls wrap through it,
-    # so the two edge selects vanish from the dependent chain (see
-    # dp_kernel._fused_seam_body); the widening happens OUTSIDE the kernel
-    # (a constant tail concatenated inside trips interpret-mode vma checks)
+def _make_block_dp_kernel(Kb: int, We: int):
+    # The window mask and the +inf LANE tail (rolls wrap through it, so the
+    # two edge selects vanish from the dependent chain — see
+    # dp_kernel._fused_seam_body) are both built IN-kernel from the raw
+    # halo-gathered block: the mask select and tail concat sit on e_row,
+    # which is off the critical min-chain, and the XLA-side mask/pad passes
+    # (3 extra full-block copies per K rows) disappear.
+    W2 = We + LANE
 
-    def kernel(prev_ref, e_ref, out_ref):
-        prev = prev_ref[:, :]
+    def kernel(scal_ref, ext_ref, out_ref):
+        col0 = scal_ref[0]
+        width = scal_ref[1]
+        inf = jnp.float32(jnp.inf)
+        colids = jax.lax.broadcasted_iota(jnp.int32, (1, We), 1) + col0
+        valid = (colids >= 0) & (colids < width)
+        tail = jnp.full((1, LANE), inf, jnp.float32)
+        prev = jnp.concatenate(
+            [jnp.where(valid, ext_ref[0:1, :], inf), tail], axis=1)
         rows = []
         for r in range(Kb):  # static rows, frontier register-resident
-            e_row = e_ref[r : r + 1, :]
+            e_row = jnp.concatenate(
+                [jnp.where(valid, ext_ref[r + 1 : r + 2, :], inf), tail],
+                axis=1)
             left = pltpu.roll(prev, 1, axis=1)
             right = pltpu.roll(prev, W2 - 1, axis=1)  # == shift -1
             # same op order as the scan row: E + min(min(left, center), right)
             m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
-            rows.append(m)
+            rows.append(m[:, :We])
             prev = m
         out_ref[:, :] = jnp.concatenate(rows, axis=0)
 
     return kernel
 
 
-def block_dp_rows(ext_prev: jax.Array, ext_E: jax.Array, *,
+def block_dp_rows(ext_msg: jax.Array, col0, width, *,
                   interpret: bool | None = None) -> jax.Array:
-    """One K-row DP block: ext_prev (We,) f32 frontier, ext_E (Kb, We) f32
-    (both pre-masked to +inf outside the valid window) -> (Kb, We) f32 M
-    rows.  Bitwise identical to the per-row scan (add/min only).
-    We % 128 == 0 required (`block_dp_supported`)."""
-    Kb, We = ext_E.shape
+    """One K-row DP block from the RAW halo-gathered message: ext_msg
+    (Kb+1, We) f32 with row 0 = the frontier and rows 1.. = the energy
+    block, col0 = the global column of ext column 0, width = the logical
+    width.  Masking to the valid window and the inf-tail widening happen
+    inside the kernel.  Returns (Kb, We) f32 M rows, bitwise identical to
+    the masked per-row scan (add/min only).  We % 128 == 0 required
+    (`block_dp_supported`)."""
+    Kb1, We = ext_msg.shape
+    Kb = Kb1 - 1
     if interpret is None:
         interpret = _interpret_default()
-    inf = jnp.float32(jnp.inf)
-    prev2 = jnp.pad(ext_prev[None, :], ((0, 0), (0, LANE)),
-                    constant_values=inf)
-    E2 = jnp.pad(ext_E, ((0, 0), (0, LANE)), constant_values=inf)
+    scal = jnp.stack([jnp.asarray(col0, jnp.int32),
+                      jnp.asarray(width, jnp.int32)])
     if interpret:
-        # same op sequence as the kernel in plain jax (jnp.roll == pltpu.roll
-        # semantics; add/min are exact, so this is bitwise-equivalent to the
-        # compiled kernel) — the pallas interpreter cannot run grid carries
-        # under shard_map's vma checking
-        return _plain_block_dp(prev2, E2, Kb)[:, :We]
-    out = pl.pallas_call(
-        _make_block_dp_kernel(Kb, We + LANE),
+        # same op sequence in plain jax (jnp.roll == pltpu.roll semantics;
+        # add/min are exact, so this is bitwise-equivalent to the compiled
+        # kernel) — the pallas interpreter cannot run grid carries under
+        # shard_map's vma checking
+        return _plain_block_dp(ext_msg, scal[0], scal[1], Kb)
+    return pl.pallas_call(
+        _make_block_dp_kernel(Kb, We),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=_out_struct((Kb, We + LANE), jnp.float32, ext_E),
+        out_shape=_out_struct((Kb, We), jnp.float32, ext_msg),
         interpret=False,
-    )(prev2, E2)
-    return out[:, :We]
+    )(scal, ext_msg)
 
 
-def _plain_block_dp(prev2, E2, Kb):
-    W2 = E2.shape[1]
-    prev = prev2
+def _plain_block_dp(ext_msg, col0, width, Kb):
+    We = ext_msg.shape[1]
+    W2 = We + LANE
+    inf = jnp.float32(jnp.inf)
+    colids = jnp.arange(We, dtype=jnp.int32)[None, :] + col0
+    valid = (colids >= 0) & (colids < width)
+    tail = jnp.full((1, LANE), inf, jnp.float32)
+    prev = jnp.concatenate(
+        [jnp.where(valid, ext_msg[0:1, :], inf), tail], axis=1)
     rows = []
     for r in range(Kb):
-        e_row = E2[r : r + 1, :]
+        e_row = jnp.concatenate(
+            [jnp.where(valid, ext_msg[r + 1 : r + 2, :], inf), tail], axis=1)
         left = jnp.roll(prev, 1, axis=1)
         right = jnp.roll(prev, W2 - 1, axis=1)
         m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
-        rows.append(m)
+        rows.append(m[:, :We])
         prev = m
     return jnp.concatenate(rows, axis=0)
 

@@ -207,14 +207,16 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
         # one ppermute pair ships the frontier row + the K-row energy block
         msg = jnp.concatenate([prev[None, :], E_blk], axis=0)
         ext = _halo_gather(msg, Hh, Hh, axis)          # (Kb + 1, We)
-        ext_prev = jnp.where(valid, ext[0], inf)
-        ext_E = jnp.where(valid[None, :], ext[1:], inf)
 
         if use_pallas and block_dp_supported(We, d) and rigidity == 0.0:
-            # one kernel per block: K rows with the frontier in registers
+            # one kernel per block: K rows with the frontier in registers,
+            # window masking + inf-tail widening fused in-kernel
             # (bitwise == the scan - add/min only, pallas/spatial_dp_kernel)
-            Ms = block_dp_rows(ext_prev, ext_E)
+            Ms = block_dp_rows(ext, lo - Hh, width)
             return Ms[-1, Hh:Hh + Wl], Ms
+
+        ext_prev = jnp.where(valid, ext[0], inf)
+        ext_E = jnp.where(valid[None, :], ext[1:], inf)
 
         def row(prev_e, e_row):
             # same candidate order + op fold as ops/dp.py cumulative_energy
