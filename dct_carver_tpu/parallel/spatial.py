@@ -449,7 +449,7 @@ def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
     slab256 = _gather_slabs_call(lp, es, slab_rows, R, nb, lp.shape[0])
     slab256 = slab256.reshape(nb, slab_rows, WIN)
 
-    if n >= 16 and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         strips = _strip_energy_call(
             slab256.reshape(nb * slab_rows, WIN), n, edges, textures, R,
             slab_rows)
