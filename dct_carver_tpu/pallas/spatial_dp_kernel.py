@@ -20,8 +20,6 @@ for the multi-device frontier exchange of SURVEY §5's long-context row.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -30,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .dp_kernel import _interpret_default
 
 __all__ = ["block_dp_rows", "block_dp_supported",
-           "seg_walk_rows", "seg_walk_supported"]
+           "seg_walk_rows", "seg_walk_supported",
+           "sharded_apply_rows", "apply_supported"]
 
 LANE = 128
 
