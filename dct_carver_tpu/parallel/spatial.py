@@ -137,28 +137,37 @@ def _halo_gather(x, n_left: int, n_right: int, axis):
 
 def _edge_clamped_halo(local, n_left: int, n_right: int, W: int, axis):
     """Halo gather with GLOBAL edge-clamp semantics (src/render.c:122-132):
-    columns beyond [0, W) replicate global column 0 / W-1."""
+    columns beyond [0, W) replicate global column 0 / W-1.
+
+    The clamps are applied to the HALO SLICES before the concat (identical
+    values — the affected slots are exactly the same): clamping the full
+    extended buffer instead costs two full-width select passes for a
+    handful of edge columns (~0.7 ms/seam at 8K)."""
     idx = _axis_index(axis)
     nsh = jax.lax.axis_size(axis)
     H, Wl = local.shape
     lo = idx * Wl
-    ext = _halo_gather(local, n_left, n_right, axis)
-    col_g = lo - n_left + jnp.arange(Wl + n_left + n_right)[None, :]
+    parts = []
     if n_left:
+        lh = _halo_gather(local, n_left, 0, axis)[:, :n_left]
+        col_g = lo - n_left + jnp.arange(n_left)[None, :]
         if n_left <= Wl:
             left_fill = local[:, :1]  # only shard 0 has col_g < 0; owns col 0
         else:
             own0 = jnp.where(idx == 0, local[:, 0], 0.0)
             left_fill = jax.lax.psum(own0, axis)[:, None]
-        ext = jnp.where(col_g < 0, left_fill, ext)
+        parts.append(jnp.where(col_g < 0, left_fill, lh))
+    parts.append(local)
     if n_right:
+        rh = _halo_gather(local, 0, n_right, axis)[:, Wl:]
+        col_g = lo + Wl + jnp.arange(n_right)[None, :]
         if n_right <= Wl:
             right_fill = local[:, -1:]
         else:
             ownl = jnp.where(idx == nsh - 1, local[:, -1], 0.0)
             right_fill = jax.lax.psum(ownl, axis)[:, None]
-        ext = jnp.where(col_g > W - 1, right_fill, ext)
-    return ext
+        parts.append(jnp.where(col_g > W - 1, right_fill, rh))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _sharded_energy(local_luma, blocksize, edges, textures, W, axis):
