@@ -14,7 +14,7 @@ import argparse
 import json
 import sys
 
-from .utils.i18n import _ as _t
+from .utils.i18n import _ as _t, set_language_from_env
 import time
 
 
@@ -148,6 +148,9 @@ def main(argv=None) -> int:
     u.add_argument("--port", type=int, default=8707)
 
     args = ap.parse_args(argv)
+
+    # the CLI (unlike library imports) honors the process locale (LANG)
+    set_language_from_env()
 
     from .utils.cache import enable_compilation_cache
 

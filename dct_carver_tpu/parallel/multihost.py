@@ -99,11 +99,17 @@ def process_health(timeout: float = 30.0) -> dict:
 
     if _probe is not None:
         # previous probe still blocked in its collective: wait on IT
+        import time
+
         t, outcome = _probe
+        t_wait = time.monotonic()
         t.join(timeout)
         if t.is_alive():
             return report(t, outcome)
         _probe = None  # consumed; fall through to a fresh probe
+        # the fresh probe gets only the REMAINING budget, so the total wait
+        # never exceeds ~`timeout` (was: two full joins back to back)
+        timeout = max(0.0, timeout - (time.monotonic() - t_wait))
 
     outcome = {}
 

@@ -994,6 +994,11 @@ def spatial_carve_n_seams(
         "textures": float(textures), "frontier_block": int(frontier_block),
         "strip_update": bool(strip_update), "delta_x": int(delta_x),
         "rigidity": float(rigidity),
+        # resuming with image=... a checkpoint saved without one (or vice
+        # versa) would silently carve the (1, nsh) placeholder; the ndim
+        # guards 2-D vs 3-D image planes the same way
+        "with_image": bool(with_image),
+        "image_ndim": int(np.asarray(image).ndim) if with_image else 0,
     }
 
     done = 0

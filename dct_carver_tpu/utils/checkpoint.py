@@ -104,7 +104,13 @@ def save_sharded(path: str, state, meta: dict) -> None:
     # the orbax save is a collective: every process calls it, each writing
     # only its own shards; it returns after the commit rename
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, f"{_STEP_PREFIX}{step:08d}"), tree)
+        # force=True: a fresh run reusing a checkpoint_dir may hit a step
+        # number that already has a committed directory (e.g. the surviving
+        # step of a previous run matching the new run's first chunk
+        # boundary); overwrite it — the step-directory rename commit still
+        # guarantees atomicity
+        ckptr.save(os.path.join(path, f"{_STEP_PREFIX}{step:08d}"), tree,
+                   force=True)
     if jax.process_index() == 0:
         # meta.json is static per run (progress lives in the step name);
         # tmp + atomic replace so readers never see a torn file

@@ -23,7 +23,8 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["_", "set_language", "get_language", "available_languages"]
+__all__ = ["_", "set_language", "set_language_from_env", "get_language",
+           "available_languages"]
 
 _LOCALE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "locale")
@@ -67,6 +68,16 @@ def _(msg: str) -> str:
     return _catalog.get(msg, msg)
 
 
-# initialize from the environment (DCT_CARVER_LANG beats LANG, like the
-# plugin inherits GIMP's locale)
-set_language(os.environ.get("DCT_CARVER_LANG") or os.environ.get("LANG"))
+def set_language_from_env() -> str:
+    """Select the language from DCT_CARVER_LANG, falling back to LANG (how
+    the plugin inherits GIMP's locale).  Called by the CLI/UI entry points;
+    library imports honor only the explicit opt-in below."""
+    return set_language(
+        os.environ.get("DCT_CARVER_LANG") or os.environ.get("LANG"))
+
+
+# At import time only the package-specific opt-in applies: merely importing
+# the library must not translate a consumer's progress strings because their
+# process happens to run under LANG=de_DE (plain LANG is honored by the
+# CLI/UI entry points via `set_language_from_env`).
+set_language(os.environ.get("DCT_CARVER_LANG"))

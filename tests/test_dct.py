@@ -48,11 +48,11 @@ def test_dct_matrix_unnormalized_convention(n, rng):
 
 @pytest.mark.parametrize("n", [2, 4, 8, 16])
 def test_jax_dct_matrix_matches_oracle(n):
-    np.testing.assert_allclose(
-        np.asarray(dct_matrix(n, jnp.float64)),
-        oracle.dct_matrix_reference(n),
-        atol=1e-15,
-    )
+    # enable_x64 so the comparison really runs at f64 (outside it the jnp
+    # matrix silently truncates to f32 with a warning)
+    with jax.enable_x64(True):
+        got = np.asarray(dct_matrix(n, jnp.float64))
+    np.testing.assert_allclose(got, oracle.dct_matrix_reference(n), atol=1e-15)
 
 
 @pytest.mark.parametrize("n", [2, 4, 8, 16])
