@@ -107,6 +107,12 @@ def main(argv=None) -> int:
     c.add_argument("--checkpoint-every", type=int, default=32)
     c.add_argument("--resume", metavar="PATH", default=None,
                    help="resume an interrupted carve from a checkpoint")
+    c.add_argument("--spatial", action="store_true",
+                   help="column-shard the image over the device mesh "
+                        "(parallel.spatial; same seams as single-device)")
+    c.add_argument("--parallel", default=None,
+                   choices=["none", "spatial", "auto"],
+                   help="execution route (overrides --spatial)")
     _add_knobs(c)
 
     it = sub.add_parser(
@@ -231,6 +237,7 @@ def main(argv=None) -> int:
         output_energy=args.output_energy is not None,
         output_seams=args.output_seams is not None,
         strip_update=not args.no_strip_update,
+        parallel=(args.parallel or ("spatial" if args.spatial else "none")),
         **knobs,
     )
     carver = Carver(

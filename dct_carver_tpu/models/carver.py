@@ -141,6 +141,18 @@ class Carver:
             energy_image=energy if self.config.output_energy else None,
         )
 
+    def _resolved_parallel(self) -> str:
+        """The effective execution route for THIS carver (one image)."""
+        par = self.config.parallel
+        if par == "batch":
+            raise ValueError(
+                "parallel='batch' applies to image stacks — pass a "
+                "(B, H, W[, C]) array to api.carve, or use "
+                "parallel.mesh.carve_batch")
+        if par == "auto":
+            par = "spatial" if len(jax.devices()) > 1 else "none"
+        return par
+
     # -- the single-axis carve (vertical seams over a possibly-transposed img)
     def _carve_axis(self, image: np.ndarray, delta: int, transpose: bool):
         cfg = self.config
@@ -150,6 +162,8 @@ class Carver:
             raise ValueError(
                 f"cannot change dimension by {delta}: image is {img.shape[1]} wide"
             )
+        if self._resolved_parallel() == "spatial":
+            return self._carve_axis_spatial(img, delta, transpose)
         dev_img = jnp.asarray(img)
         luma = _to_luma_jit(dev_img, mode=cfg.luma)
         ckpt_path, ckpt_every, resume = self._ckpt
@@ -181,6 +195,53 @@ class Carver:
         if cfg.output_energy:
             # the reference exports the PRE-carve energy (display_carver_energy
             # runs before lqr_carver_resize, src/render.c:370-377)
+            energy_np = np.asarray(jax.device_get(_energy_u8_jit(
+                dev_img, cfg.blocksize, cfg.edges, cfg.textures,
+                cfg.luma, cfg.row_block, energy_fn=cfg.energy_function,
+            )))
+        if transpose:
+            out = np.swapaxes(out, 0, 1)
+            vmap_np = np.swapaxes(vmap_np, 0, 1)
+            if energy_np is not None:
+                energy_np = np.swapaxes(energy_np, 0, 1)
+        return out, vmap_np, energy_np
+
+    # -- the mesh-sharded single-image route (parallel.spatial — the same
+    #    seams as the single-device path, asserted in tests/test_api.py)
+    def _carve_axis_spatial(self, img: np.ndarray, delta: int,
+                            transpose: bool):
+        from ..parallel.spatial import (spatial_carve_n_seams,
+                                        spatial_enlarge_n_seams)
+
+        cfg = self.config
+        n = abs(delta)
+        dev_img = jnp.asarray(img)
+        luma = _to_luma_jit(dev_img, mode=cfg.luma)
+        ckpt_path, ckpt_every, resume = self._ckpt
+        if transpose:  # like the single-device path, ckpt/progress cover the
+            ckpt_path = resume = None  # width pass (the first) only
+        common = dict(
+            blocksize=cfg.blocksize, edges=cfg.edges, textures=cfg.textures,
+            strip_update=cfg.strip_update,
+            use_pallas=None if cfg.use_pallas else False,
+            delta_x=cfg.delta_x, rigidity=cfg.rigidity,
+            energy=cfg.energy_function,
+            progress=None if transpose else self.progress,
+            chunk=ckpt_every if (ckpt_path or resume) else 0,
+            checkpoint_dir=ckpt_path, resume_from=resume,
+        )
+        if delta < 0:
+            res = spatial_carve_n_seams(luma, n, image=dev_img, **common)
+            out = np.asarray(jax.device_get(res.image))[:, : img.shape[1] - n]
+        else:
+            res = spatial_enlarge_n_seams(luma, n, dev_img, **common)
+            out = np.asarray(jax.device_get(res.image))
+        vmap_np = np.asarray(jax.device_get(res.vmap))
+        energy_np = None
+        if cfg.output_energy:
+            # pre-carve energy export, same semantics as the single-device
+            # route (display_carver_energy runs before the resize,
+            # src/render.c:370-377)
             energy_np = np.asarray(jax.device_get(_energy_u8_jit(
                 dev_img, cfg.blocksize, cfg.edges, cfg.textures,
                 cfg.luma, cfg.row_block, energy_fn=cfg.energy_function,

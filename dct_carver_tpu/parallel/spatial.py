@@ -52,10 +52,12 @@ from jax import shard_map
 
 from ..ops.dct import energy_from_bands
 from ..ops.dp import _rigidity_penalties, _shift_row
+from ..ops.energy_fn import resolve_energy
 from ..pallas.spatial_dp_kernel import (block_dp_rows, block_dp_supported,
                                         seg_walk_rows, seg_walk_supported,
                                         sharded_apply_rows, apply_supported)
-from ..ops.carve import _strip_bounds, _strip_block_dims, min_strip_width
+from ..ops.carve import (_bands_energy, _strip_bounds, _strip_block_dims,
+                         min_strip_width)
 from .mesh import make_mesh
 
 __all__ = ["spatial_carve_n_seams", "spatial_enlarge_n_seams",
@@ -170,9 +172,13 @@ def _edge_clamped_halo(local, n_left: int, n_right: int, W: int, axis):
     return jnp.concatenate(parts, axis=1)
 
 
-def _sharded_energy(local_luma, blocksize, edges, textures, W, axis):
-    """(H, Wl) local luma -> (H, Wl) energy, bitwise equal to unsharded."""
-    n = blocksize
+def _sharded_energy(local_luma, blocksize, edges, textures, W, axis,
+                    energy_fn=None):
+    """(H, Wl) local luma -> (H, Wl) energy, bitwise equal to unsharded.
+    `energy_fn`: a pluggable ops.energy_fn.EnergyFunction replacing the DCT
+    energy (the lqr_carver_set_energy_function analog threaded through the
+    sharded path — same bands interface as the single-device one)."""
+    n = energy_fn.n if energy_fn is not None else blocksize
     r = n // 2
     H, Wl = local_luma.shape
     ext = _edge_clamped_halo(local_luma, r - 1, r, W, axis)  # (H, Wl + n - 1)
@@ -180,7 +186,8 @@ def _sharded_energy(local_luma, blocksize, edges, textures, W, axis):
         jnp.arange(H)[:, None] + jnp.arange(-r + 1, r + 1)[None, :], 0, H - 1
     )
     bands = ext[row_idx]  # (H, n, Wl + n - 1)
-    return energy_from_bands(bands, n, edges, textures).astype(jnp.float32)
+    return _bands_energy(bands, n, edges, textures,
+                         energy_fn).astype(jnp.float32)
 
 
 # -------------------------------------------------------------------- DP ----
@@ -363,11 +370,12 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
 
 def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
                           textures, W: int, axis, R: int = STRIP_ROWS,
-                          delta_x: int = 1):
+                          delta_x: int = 1, energy_fn=None):
     """Per-seam sharded energy update: recompute only the strip around the
     removed seam.  Bitwise equal at every owned live column to the
     single-device `_recompute_strip` (same slab values -> same
-    `energy_from_bands` chains -> same written columns)."""
+    `energy_from_bands` chains -> same written columns).  With `energy_fn`,
+    `blocksize` must be the function's window size (energy_fn.n)."""
     H, Wl = luma_l.shape
     n = blocksize
     r = n // 2
@@ -394,8 +402,8 @@ def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
         lambda k, b: jax.lax.dynamic_slice(extp, (k, b), (R + n - 1, gwb))
     )(jnp.arange(nb, dtype=jnp.int32) * R, es)
     bands = jnp.stack([slabs[:, rr: rr + n, :] for rr in range(R)], axis=1)
-    strip_E = energy_from_bands(
-        bands.reshape(nb * R, n, gwb), n, edges, textures
+    strip_E = _bands_energy(
+        bands.reshape(nb * R, n, gwb), n, edges, textures, energy_fn
     ).astype(jnp.float32).reshape(nb, R, swb)
 
     # scatter into a swb-per-side halo frame; halo writes are discarded
@@ -417,7 +425,8 @@ def _spatial_strip_pallas_ok(H: int, Wl: int, n: int, delta_x: int,
 
 def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
                                  edges, textures, W: int, axis,
-                                 R: int = STRIP_ROWS, delta_x: int = 1):
+                                 R: int = STRIP_ROWS, delta_x: int = 1,
+                                 energy_fn=None):
     """Pallas-windowed variant of `_sharded_strip_update`: identical values
     at every owned live column (same halo, same slab values, same energy
     chains), with the vmapped dynamic_slice gather / dynamic_update_slice
@@ -458,7 +467,7 @@ def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
     slab256 = _gather_slabs_call(lp, es, slab_rows, R, nb, lp.shape[0])
     slab256 = slab256.reshape(nb, slab_rows, WIN)
 
-    if jax.default_backend() == "tpu":
+    if energy_fn is None and jax.default_backend() == "tpu":
         strips = _strip_energy_call(
             slab256.reshape(nb * slab_rows, WIN), n, edges, textures, R,
             slab_rows)
@@ -466,8 +475,8 @@ def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
     else:
         bands = jnp.stack(
             [slab256[:, rr: rr + n, :gwb] for rr in range(R)], axis=1)
-        strip_E = energy_from_bands(
-            bands.reshape(nb * R, n, gwb), n, edges, textures
+        strip_E = _bands_energy(
+            bands.reshape(nb * R, n, gwb), n, edges, textures, energy_fn
         ).astype(jnp.float32).reshape(nb, R, swb)
         strips = jnp.pad(strip_E, ((0, 0), (0, 0), (0, WIN - swb)))
 
@@ -512,7 +521,8 @@ def _sharded_edge_fill(local_luma, width, axis):
 def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                        Wl: int, K: int, strip_update: bool, with_image: bool,
                        axis, unroll: bool = False, delta_x: int = 1,
-                       rigidity: float = 0.0, use_pallas: bool = False):
+                       rigidity: float = 0.0, use_pallas: bool = False,
+                       energy_fn=None):
     """One full sharded seam: DP -> backtrack -> vmap record -> compaction ->
     energy update.  `st` is the 6-tuple of per-shard state; `label` is the
     1-based seam number written into the visibility map.  `unroll=True`
@@ -575,19 +585,20 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
     if strip_update:
         if E_shift is None:
             E_shift = _sharded_remove(E_l, seam, axis)
-        n_eff = blocksize
+        n_eff = energy_fn.n if energy_fn is not None else blocksize
         if use_pallas and _spatial_strip_pallas_ok(H, Wl, n_eff, delta_x):
             E_l = _sharded_strip_update_pallas(
-                luma_l, E_shift, seam, blocksize, edges, textures, W,
-                axis, delta_x=delta_x,
+                luma_l, E_shift, seam, n_eff, edges, textures, W,
+                axis, delta_x=delta_x, energy_fn=energy_fn,
             )
         else:
             E_l = _sharded_strip_update(
-                luma_l, E_shift, seam, blocksize, edges, textures, W,
-                axis, delta_x=delta_x,
+                luma_l, E_shift, seam, n_eff, edges, textures, W,
+                axis, delta_x=delta_x, energy_fn=energy_fn,
             )
     else:
-        E_l = _sharded_energy(luma_l, blocksize, edges, textures, W, axis)
+        E_l = _sharded_energy(luma_l, blocksize, edges, textures, W, axis,
+                              energy_fn)
     return (luma_l, img_l, origcol_l, vmap_l, E_l, width)
 
 
@@ -757,6 +768,11 @@ def spatial_enlarge_n_seams(
     delta_x: int = 1,
     rigidity: float = 0.0,
     use_pallas: bool | None = None,
+    energy=None,
+    progress=None,
+    chunk: int = 0,
+    checkpoint_dir: str | None = None,
+    resume_from: str | None = None,
 ) -> SpatialCarveResult:
     """ENLARGE a column-sharded image by `n_seams` (the positive-seams mode
     of the reference, src/render.c:344-364): find n removal seams on a copy,
@@ -775,7 +791,8 @@ def spatial_enlarge_n_seams(
         luma, n_seams, blocksize=blocksize, edges=edges, textures=textures,
         mesh=mesh, axis=axis, frontier_block=frontier_block,
         strip_update=strip_update, delta_x=delta_x, rigidity=rigidity,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, energy=energy, progress=progress,
+        chunk=chunk, checkpoint_dir=checkpoint_dir, resume_from=resume_from,
     )
     image = jnp.asarray(image)
     pad_in = (-W) % nsh
@@ -821,17 +838,18 @@ class SpatialCarveState(NamedTuple):
 
 @functools.partial(
     jax.jit, static_argnames=("blocksize", "mesh", "axis", "with_image",
-                              "logical_width")
+                              "logical_width", "energy_fn")
 )
 def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
-                      with_image, logical_width=None):
+                      with_image, logical_width=None, energy_fn=None):
     H, W = luma.shape
     if logical_width is None:
         logical_width = W
 
     spec = P(None, axis)
     energy = shard_map(
-        lambda l: _sharded_energy(l, blocksize, edges, textures, W, axis),
+        lambda l: _sharded_energy(l, blocksize, edges, textures, W, axis,
+                                  energy_fn),
         mesh=mesh, in_specs=(spec,), out_specs=spec,
     )(luma)
     origcol = jax.device_put(
@@ -846,11 +864,13 @@ def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
 @functools.partial(
     jax.jit, static_argnames=("count", "blocksize", "mesh", "axis",
                               "frontier_block", "strip_update", "with_image",
-                              "delta_x", "rigidity", "use_pallas")
+                              "delta_x", "rigidity", "use_pallas",
+                              "energy_fn")
 )
 def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                        mesh, axis, frontier_block, strip_update, with_image,
-                       delta_x=1, rigidity=0.0, use_pallas=False):
+                       delta_x=1, rigidity=0.0, use_pallas=False,
+                       energy_fn=None):
     """Carve `count` seams starting at 1-based label seam_base+1."""
     H, W = state.luma.shape
     nsh = mesh.shape[axis]
@@ -863,6 +883,7 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                 st, base + i + 1, blocksize, edges, textures, W, Wl, K,
                 strip_update, with_image, axis, delta_x=delta_x,
                 rigidity=rigidity, use_pallas=use_pallas,
+                energy_fn=energy_fn,
             )
 
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
@@ -899,6 +920,7 @@ def spatial_make_state(
     mesh: Mesh | None = None,
     axis: str = "x",
     image=None,
+    energy=None,
 ):
     """Shard the inputs over `mesh` and compute the initial sharded energy.
     Returns (SpatialCarveState, mesh).
@@ -932,7 +954,8 @@ def spatial_make_state(
             jnp.zeros((1, nsh), luma.dtype), NamedSharding(mesh, P(None, axis))
         )  # placeholder, untouched
     state = _spatial_init_jit(luma, image, blocksize, edges, textures,
-                              mesh, axis, with_image, W)
+                              mesh, axis, with_image, W,
+                              energy_fn=resolve_energy(energy))
     return state, mesh
 
 
@@ -954,6 +977,8 @@ def spatial_carve_n_seams(
     delta_x: int = 1,
     rigidity: float = 0.0,
     use_pallas: bool | None = None,
+    energy=None,
+    progress=None,
 ) -> SpatialCarveResult:
     """Carve `n_seams` from one column-sharded image.  `luma` (H, W), any W
     (non-divisible widths are edge-padded internally, see
@@ -961,6 +986,15 @@ def spatial_carve_n_seams(
     and final width; seams are identical to the single-device path,
     including the generalized `delta_x`/`rigidity` DP (the
     `lqr_carver_init` parameters, src/render.c:313).
+
+    `energy`: a builtin energy name or ops.energy_fn.EnergyFunction — the
+    `lqr_carver_set_energy_function` analog, honored on the sharded path
+    exactly like the single-device one (seam-for-seam identical, tested).
+    `progress`: an optional utils.progress.Progress (the liblqr progress
+    hooks, src/render.c:316): init before the first seam, update(done/total)
+    after every chunk, end on completion.  With chunk=0 the whole carve is
+    one device program, so the only update is the final 100% — pass
+    chunk>0 for mid-carve reporting.
 
     `image`: optional (H, W[, C]) full-channel plane carried through the
     sharded compaction — the returned `.image` is the carved image (columns
@@ -980,8 +1014,10 @@ def spatial_carve_n_seams(
         # auto: per-shard block kernels on a real TPU (interpret mode on
         # CPU is bitwise-correct but slower than the scan; tests opt in)
         use_pallas = jax.default_backend() == "tpu"
+    energy_fn = resolve_energy(energy)
+    n_eff = energy_fn.n if energy_fn is not None else blocksize
     W = luma.shape[1]
-    if W < min_strip_width(blocksize, delta_x, STRIP_ROWS):
+    if W < min_strip_width(n_eff, delta_x, STRIP_ROWS):
         strip_update = False
     with_image = image is not None
 
@@ -999,6 +1035,7 @@ def spatial_carve_n_seams(
         # guards 2-D vs 3-D image planes the same way
         "with_image": bool(with_image),
         "image_ndim": int(np.asarray(image).ndim) if with_image else 0,
+        "energy": energy_fn.name if energy_fn is not None else "dct",
     }
 
     done = 0
@@ -1021,25 +1058,35 @@ def spatial_carve_n_seams(
     else:
         state, mesh = spatial_make_state(
             luma, blocksize=blocksize, edges=edges, textures=textures,
-            mesh=mesh, axis=axis, image=image,
+            mesh=mesh, axis=axis, image=image, energy=energy_fn,
         )
 
+    if progress is not None:
+        from ..utils.i18n import _ as _t
+
+        progress.init(_t("Resizing width..."))
+        if done:
+            progress.update(done / n_seams)
     step = chunk if chunk > 0 else n_seams
     while done < n_seams:
         count = min(step, n_seams - done)
         state = _spatial_chunk_jit(
             state, jnp.int32(done), count, blocksize, edges, textures,
             mesh, axis, frontier_block, strip_update, with_image,
-            delta_x, rigidity, bool(use_pallas),
+            delta_x, rigidity, bool(use_pallas), energy_fn,
         )
         state = jax.block_until_ready(state)
         done += count
+        if progress is not None:
+            progress.update(done / n_seams)
         if checkpoint_dir is not None and done < n_seams:
             from ..utils.checkpoint import save_sharded
 
             save_sharded(checkpoint_dir, state,
                          {"seams_done": done, "n_seams_total": n_seams,
                           **params})
+    if progress is not None:
+        progress.end()
     # un-pad: results are reported at the ORIGINAL width
     res_vmap = state.vmap[:, :W] if state.vmap.shape[1] != W else state.vmap
     res_img = None

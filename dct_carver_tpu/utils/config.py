@@ -40,6 +40,13 @@ class CarverConfig:
     use_pallas: bool = True     # fused TPU kernels where available
     strip_update: bool = True   # incremental energy updates between seams
     row_block: int | None = None  # bound energy-map peak memory
+    # execution routing: "none" = single device; "spatial" = column-shard
+    # ONE image over the device mesh (parallel.spatial — BASELINE config 5);
+    # "batch" = data-parallel over an image STACK (api.carve with a
+    # (B, H, W[, C]) input / parallel.mesh.carve_batch); "auto" = spatial
+    # when >1 device is visible (batch for 4-D stacks), else none.
+    # Seams are identical on every route (asserted in tests).
+    parallel: str = "none"
 
     def __post_init__(self):
         if self.blocksize not in (2, 4, 8, 16):
@@ -51,6 +58,10 @@ class CarverConfig:
             raise ValueError(f"delta_x must be >= 1, got {self.delta_x}")
         if self.rigidity < 0:
             raise ValueError(f"rigidity must be >= 0, got {self.rigidity}")
+        if self.parallel not in ("none", "batch", "spatial", "auto"):
+            raise ValueError(
+                f"parallel must be none/batch/spatial/auto, got "
+                f"{self.parallel!r}")
         self.energy_function  # validates the energy spec eagerly
 
     @property

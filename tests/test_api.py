@@ -113,6 +113,69 @@ def test_batch_carve_multidevice(make_image):
     np.testing.assert_array_equal(np.asarray(out[0]), single.image)
 
 
+def test_api_parallel_spatial_matches_single(make_image):
+    """The parallel='spatial' route of the top-level API must produce the
+    IDENTICAL visibility map and image as the default single-device route
+    (the flagship mesh capability behind the same front door as
+    src/render.c:327's render())."""
+    img = make_image(24, 64, c=3)
+    ref = carve(img, -5, output_seams=True, output_energy=True)
+    got = carve(img, -5, output_seams=True, output_energy=True,
+                parallel="spatial")
+    np.testing.assert_array_equal(got.visibility_map, ref.visibility_map)
+    np.testing.assert_array_equal(got.image, ref.image)
+    np.testing.assert_array_equal(got.energy_image, ref.energy_image)
+    # enlargement and the vertical axis route too
+    egot = carve(img, 4, parallel="spatial")
+    eref = carve(img, 4)
+    np.testing.assert_array_equal(egot.image, eref.image)
+    vgot = carve(img, -3, vertically=True, parallel="spatial",
+                 output_seams=True)
+    vref = carve(img, -3, vertically=True, output_seams=True)
+    np.testing.assert_array_equal(vgot.visibility_map, vref.visibility_map)
+    np.testing.assert_array_equal(vgot.image, vref.image)
+
+
+def test_api_parallel_batch_stack(make_image):
+    """parallel='batch' (and 'auto' with a 4-D input) routes a (B, H, W, C)
+    stack through the data-parallel mesh; every image matches the
+    single-image carve."""
+    imgs = np.stack([make_image(16, 24, c=3) for _ in range(4)])
+    res = carve(imgs, -3, parallel="batch", output_seams=True)
+    assert res.image.shape == (4, 16, 21, 3)
+    assert res.visibility_map.shape == (4, 16, 24)
+    single = carve(imgs[2], -3, output_seams=True)
+    np.testing.assert_array_equal(res.image[2], single.image)
+    np.testing.assert_array_equal(res.visibility_map[2],
+                                  single.visibility_map)
+    auto = carve(imgs, -3, parallel="auto")
+    np.testing.assert_array_equal(auto.image, res.image)
+    # enlargement of a stack
+    eres = carve(imgs, 2, parallel="batch")
+    esingle = carve(imgs[1], 2)
+    np.testing.assert_array_equal(eres.image[1], esingle.image)
+    # a plain (H, W) image is not a stack ((H, W, C) IS one — a B-image
+    # gray stack and an RGB image are indistinguishable by shape)
+    with pytest.raises(ValueError, match="stack"):
+        carve(imgs[0, ..., 0], -3, parallel="batch")
+
+
+def test_cli_spatial_flag(tmp_path, make_image):
+    """dct-carver carve --spatial must produce the identical output to the
+    single-device CLI run."""
+    from dct_carver_tpu.cli import main
+    from dct_carver_tpu.utils.image import save_ppm, load_ppm
+
+    img = make_image(16, 64, c=3)
+    inp = tmp_path / "in.ppm"
+    save_ppm(str(inp), img)
+    a, b = tmp_path / "a.ppm", tmp_path / "b.ppm"
+    assert main(["carve", str(inp), str(a), "--seams", "-4"]) == 0
+    assert main(["carve", str(inp), str(b), "--seams", "-4",
+                 "--spatial"]) == 0
+    np.testing.assert_array_equal(load_ppm(str(a)), load_ppm(str(b)))
+
+
 def test_graft_entry():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

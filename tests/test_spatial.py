@@ -198,6 +198,88 @@ def test_spatial_resume_param_mismatch_raises(mesh8, tmp_path):
                               edges=0.9, textures=0.1)
 
 
+def test_spatial_resume_with_image_mismatch_raises(mesh8, tmp_path):
+    """Resuming with image=... a checkpoint saved without one (or vice
+    versa) must be rejected — the carve would otherwise silently run on the
+    (1, nsh) placeholder and return garbage."""
+    luma_np, img = _luma(16, 64, seed=41)
+    ck = str(tmp_path / "ck_noimg")
+    spatial_carve_n_seams(luma_np, 4, mesh=mesh8, chunk=2, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="with_image"):
+        spatial_carve_n_seams(luma_np, 4, mesh=mesh8, resume_from=ck,
+                              image=img)
+    ck2 = str(tmp_path / "ck_img")
+    spatial_carve_n_seams(luma_np, 4, mesh=mesh8, chunk=2,
+                          checkpoint_dir=ck2, image=img)
+    with pytest.raises(ValueError, match="with_image"):
+        spatial_carve_n_seams(luma_np, 4, mesh=mesh8, resume_from=ck2)
+
+
+@pytest.mark.parametrize("energy", ["grad_norm", "grad_sumabs"])
+def test_spatial_energy_fn_matches_single_device(mesh8, energy):
+    """Pluggable energies (the lqr_carver_set_energy_function analog) must be
+    honored on the sharded path: seam-for-seam identical to the
+    single-device gradient carve, with strip updates on."""
+    from dct_carver_tpu.ops.energy_fn import builtin_energy
+
+    luma_np, _ = _luma(24, 64, seed=37)
+    n = 4
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.0, 1.0, strip_update=True,
+        energy_fn=builtin_energy(energy),
+    )
+    sharded = spatial_carve_n_seams(
+        luma_np, n, mesh=mesh8, energy=energy, strip_update=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
+
+
+def test_spatial_custom_energy_matches_single_device(mesh8):
+    """A user-written per-window energy function (custom_energy — the
+    closest analog of the reference's per-pixel callback) must carve
+    identically sharded and unsharded."""
+    from dct_carver_tpu.ops.energy_fn import custom_energy
+
+    fn = custom_energy(
+        2, lambda w: jnp.abs(w[2, 2] - w.mean()), name="dev_from_mean")
+    luma_np, _ = _luma(16, 64, seed=39)
+    n = 3
+    single = carve_ops.carve_n_seams(
+        jnp.asarray(luma_np), n, 8, 0.0, 1.0, strip_update=False,
+        energy_fn=fn,
+    )
+    sharded = spatial_carve_n_seams(
+        luma_np, n, mesh=mesh8, energy=fn, strip_update=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.vmap), np.asarray(single.vmap)
+    )
+
+
+def test_spatial_progress_hook(mesh8):
+    """The liblqr progress-hook analog on the spatial path: init, one update
+    per chunk (monotonic, ending at 1.0), end."""
+    calls = []
+
+    class Rec:
+        def init(self, msg):
+            calls.append(("init", msg))
+
+        def update(self, f):
+            calls.append(("update", f))
+
+        def end(self):
+            calls.append(("end", None))
+
+    luma_np, _ = _luma(16, 64, seed=43)
+    spatial_carve_n_seams(luma_np, 5, mesh=mesh8, chunk=2, progress=Rec())
+    assert calls[0][0] == "init" and calls[-1] == ("end", None)
+    fracs = [f for k, f in calls if k == "update"]
+    assert fracs == sorted(fracs) and fracs[-1] == 1.0 and len(fracs) == 3
+
+
 def test_sharded_checkpoint_atomic_progress(mesh8, tmp_path):
     """The progress counter is the committed step directory name, never the
     side-car meta.json — a preemption between the state write and the meta
