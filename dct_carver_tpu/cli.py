@@ -30,6 +30,9 @@ def _add_knobs(p: argparse.ArgumentParser) -> None:
                    help="max seam step per row (liblqr lqr_carver_init)")
     p.add_argument("--rigidity", type=float, default=0.0,
                    help="seam step penalty: rigidity * |dx| / delta_x")
+    p.add_argument("--tie", default="leftmost",
+                   choices=["leftmost", "rightmost"],
+                   help="DP tie rule (S1/S2 spec knob, docs/PARITY.md)")
     p.add_argument("--no-strip-update", action="store_true",
                    help="full energy recompute per seam")
     p.add_argument("--energy", default="dct",
@@ -69,6 +72,7 @@ def _run_batch(args) -> int:
         blocksize=args.blocksize, edges=args.edges, textures=args.textures,
         strip_update=not args.no_strip_update, energy=args.energy,
         luma=args.luma, delta_x=args.delta_x, rigidity=args.rigidity,
+        tie=args.tie,
     )
     out = np.asarray(out)
     dt = time.perf_counter() - t0
@@ -217,6 +221,7 @@ def main(argv=None) -> int:
         seams_number=args.seams, blocksize=args.blocksize, edges=args.edges,
         textures=args.textures, vertically=args.vertically, luma=args.luma,
         delta_x=args.delta_x, rigidity=args.rigidity, energy=args.energy,
+        tie=args.tie,
     )
     if args.last_vals:
         stored = load_last_vals()

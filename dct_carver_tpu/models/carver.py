@@ -174,7 +174,7 @@ class Carver:
                 strip_update=cfg.strip_update,
                 use_pallas=None if cfg.use_pallas else False,
                 delta_x=cfg.delta_x, rigidity=cfg.rigidity,
-                energy_fn=cfg.energy_function,
+                energy_fn=cfg.energy_function, tie=cfg.tie,
             )
         else:
             from ..utils.checkpoint import carve_resumable
@@ -225,7 +225,7 @@ class Carver:
             strip_update=cfg.strip_update,
             use_pallas=None if cfg.use_pallas else False,
             delta_x=cfg.delta_x, rigidity=cfg.rigidity,
-            energy=cfg.energy_function,
+            energy=cfg.energy_function, tie=cfg.tie,
             progress=None if transpose else self.progress,
             chunk=ckpt_every if (ckpt_path or resume) else 0,
             checkpoint_dir=ckpt_path, resume_from=resume,

@@ -247,16 +247,16 @@ def strip_pallas_ok(H: int, W: int, blocksize: int, delta_x: int = 1) -> bool:
 def _one_seam(state: CarveState, k: jax.Array, blocksize: int, edges, textures,
               strip_update: bool, use_pallas: bool = False,
               delta_x: int = 1, rigidity: float = 0.0,
-              energy_fn=None) -> CarveState:
+              energy_fn=None, tie: str = "leftmost") -> CarveState:
     H, W = state.luma.shape
     if use_pallas:
         from ..pallas.dp_kernel import find_seam_pallas
 
-        seam = find_seam_pallas(state.energy, state.width)
+        seam = find_seam_pallas(state.energy, state.width, tie=tie)
     else:
         E = mask_energy(state.energy, state.width)
         M = cumulative_energy(E, delta_x, rigidity)
-        seam = backtrack(M, delta_x, rigidity)
+        seam = backtrack(M, delta_x, rigidity, tie)
 
     # record k-th seam at original coordinates (src/render.c:204-240
     # semantics).  One-hot select instead of gather + scatter: XLA lowers
@@ -335,7 +335,7 @@ def full_energy_map(luma: jax.Array, blocksize: int, edges, textures,
 @functools.partial(
     jax.jit,
     static_argnames=("n_seams", "blocksize", "strip_update", "use_pallas",
-                     "delta_x", "rigidity", "energy_fn"),
+                     "delta_x", "rigidity", "energy_fn", "tie"),
 )
 def carve_n_seams(
     luma: jax.Array,
@@ -348,6 +348,7 @@ def carve_n_seams(
     delta_x: int = 1,
     rigidity: float = 0.0,
     energy_fn=None,
+    tie: str = "leftmost",
 ) -> CarveState:
     """Remove `n_seams` vertical seams from a (H, W) luma plane.
 
@@ -361,8 +362,13 @@ def carve_n_seams(
     reference's (1, 0) configuration).  `energy_fn`: a pluggable
     ops.energy_fn.EnergyFunction replacing the DCT energy (the
     lqr_carver_set_energy_function analog); `blocksize`/`edges`/`textures`
-    are ignored when it is set.
+    are ignored when it is set.  `tie`: "leftmost"/"rightmost" DP tie rule
+    (the S1/S2 spec knob of docs/PARITY.md, applied in the end-column argmin
+    and every backtrack step).
     """
+    from .dp import check_tie
+
+    check_tie(tie)
     H, W = luma.shape
     if delta_x < 1:
         raise ValueError(f"delta_x must be >= 1, got {delta_x}")
@@ -397,7 +403,7 @@ def carve_n_seams(
     def body(i, s):
         return _one_seam(s, (i + 1).astype(jnp.int32), blocksize, edges,
                          textures, strip_update, use_pallas, delta_x,
-                         rigidity, energy_fn)
+                         rigidity, energy_fn, tie)
 
     state = jax.lax.fori_loop(0, n_seams, body, state)
     if pad:

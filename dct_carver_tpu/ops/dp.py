@@ -11,8 +11,13 @@ library behind `/root/reference/src/render.c:312-315,377`):
   inner loop) over a static-width buffer with a dynamic logical width —
   XLA-friendly static shapes for the whole multi-seam carve loop.
 
-Tie conventions (identical to oracle/reference.py): leftmost argmin at the
-last row; leftmost minimum among the 3 backtrack candidates.
+Tie conventions (identical to oracle/reference.py): the `tie` knob picks the
+leftmost (default) or rightmost argmin at the last row AND among the
+backtrack candidates.  The real convention lives inside external liblqr
+(unobservable in this environment — docs/PARITY.md S1/S2); making it a knob
+applied identically in every path (oracle, native C++, scan, Pallas,
+spatial) means whichever convention real liblqr has, the framework can match
+it with a flag.
 
 All functions are shape-polymorphic pure functions, safe under jit/vmap.
 """
@@ -28,7 +33,27 @@ __all__ = [
     "find_seam",
     "remove_seam",
     "mask_energy",
+    "check_tie",
+    "TIES",
 ]
+
+
+TIES = ("leftmost", "rightmost")
+
+
+def check_tie(tie: str) -> str:
+    if tie not in TIES:
+        raise ValueError(f"tie must be one of {TIES}, got {tie!r}")
+    return tie
+
+
+def _argmin_tie(x: jax.Array, tie: str) -> jax.Array:
+    """Index of the minimum of a 1-D array; ties resolved per `tie`
+    (jnp.argmin alone is the leftmost convention)."""
+    if tie == "leftmost":
+        return jnp.argmin(x).astype(jnp.int32)
+    n = x.shape[0]
+    return (n - 1 - jnp.argmin(x[::-1])).astype(jnp.int32)
 
 
 def _rigidity_penalties(delta_x: int, rigidity: float, dtype):
@@ -77,30 +102,34 @@ def cumulative_energy(E: jax.Array, delta_x: int = 1,
 
 
 def backtrack(M: jax.Array, delta_x: int = 1,
-              rigidity: float = 0.0) -> jax.Array:
+              rigidity: float = 0.0, tie: str = "leftmost") -> jax.Array:
     """(H, W) cumulative energy -> (H,) int32 seam columns.  Ties pick the
-    leftmost minimum among the 2*delta_x+1 (penalized) candidates."""
+    `tie`-most minimum among the 2*delta_x+1 (penalized) candidates (and of
+    the last row)."""
     H, W = M.shape
     dtype = M.dtype
+    check_tie(tie)
     k = 2 * delta_x + 1
     Mp = jnp.pad(M, ((0, 0), (delta_x, delta_x)), constant_values=jnp.inf)
     pen = jnp.asarray(_rigidity_penalties(delta_x, rigidity, dtype), dtype)
-    j_last = jnp.argmin(M[-1]).astype(jnp.int32)
+    j_last = _argmin_tie(M[-1], tie)
 
     def step(j, row_p):
         # padded window [j-delta_x .. j+delta_x]; borders +inf, never chosen
         win = jax.lax.dynamic_slice(row_p, (j,), (k,))
         if rigidity != 0.0:
             win = win + pen
-        j_new = j - delta_x + jnp.argmin(win).astype(jnp.int32)
+        j_new = j - delta_x + _argmin_tie(win, tie)
         return j_new, j_new
 
     _, seam_rev = jax.lax.scan(step, j_last, Mp[:-1][::-1])
     return jnp.concatenate([seam_rev[::-1], j_last[None]])
 
 
-def find_seam(E: jax.Array, delta_x: int = 1, rigidity: float = 0.0) -> jax.Array:
-    return backtrack(cumulative_energy(E, delta_x, rigidity), delta_x, rigidity)
+def find_seam(E: jax.Array, delta_x: int = 1, rigidity: float = 0.0,
+              tie: str = "leftmost") -> jax.Array:
+    return backtrack(cumulative_energy(E, delta_x, rigidity), delta_x,
+                     rigidity, tie)
 
 
 def mask_energy(E: jax.Array, width: jax.Array) -> jax.Array:

@@ -272,13 +272,24 @@ def cumulative_energy(E: np.ndarray, delta_x: int = 1,
     return M
 
 
+def _argmin_tie(x: np.ndarray, tie: str) -> int:
+    """Index of the minimum; ties per `tie` ("leftmost"/"rightmost") — the
+    S1/S2 spec knob of docs/PARITY.md (the real convention lives inside
+    external liblqr and is unobservable here)."""
+    if tie == "leftmost":
+        return int(np.argmin(x))
+    if tie == "rightmost":
+        return int(len(x) - 1 - np.argmin(x[::-1]))
+    raise ValueError(f"tie must be 'leftmost' or 'rightmost', got {tie!r}")
+
+
 def backtrack_seam(M: np.ndarray, delta_x: int = 1,
-                   rigidity: float = 0.0) -> np.ndarray:
-    """Leftmost-argmin backtrack over the (penalized) candidate window.
+                   rigidity: float = 0.0, tie: str = "leftmost") -> np.ndarray:
+    """`tie`-most-argmin backtrack over the (penalized) candidate window.
     Returns seam column per row, int32 (H,)."""
     H, W = M.shape
     seam = np.empty(H, dtype=np.int32)
-    j = int(np.argmin(M[-1]))  # leftmost min
+    j = _argmin_tie(M[-1], tie)
     seam[-1] = j
     pen = np.asarray(
         [rigidity_penalty(dx, delta_x, rigidity)
@@ -291,14 +302,15 @@ def backtrack_seam(M: np.ndarray, delta_x: int = 1,
             c = j + dx
             if 0 <= c < W:
                 cand[k] = M[i, c] + pen[k] if rigidity != 0.0 else M[i, c]
-        j = j - delta_x + int(np.argmin(cand))  # leftmost min
+        j = j - delta_x + _argmin_tie(cand, tie)
         seam[i] = j
     return seam
 
 
-def find_seam(E: np.ndarray, delta_x: int = 1, rigidity: float = 0.0) -> np.ndarray:
+def find_seam(E: np.ndarray, delta_x: int = 1, rigidity: float = 0.0,
+              tie: str = "leftmost") -> np.ndarray:
     return backtrack_seam(cumulative_energy(E, delta_x, rigidity),
-                          delta_x, rigidity)
+                          delta_x, rigidity, tie)
 
 
 def _remove_seam(arr: np.ndarray, seam: np.ndarray) -> np.ndarray:
@@ -319,6 +331,7 @@ def carve_seams(
     luma_fn=luma_bt709,
     delta_x: int = 1,
     rigidity: float = 0.0,
+    tie: str = "leftmost",
 ):
     """Remove `n_seams` vertical seams. Returns (carved_image, vmap, first_energy).
 
@@ -340,7 +353,7 @@ def carve_seams(
         E = energy_map(luma, blocksize, edges, textures)
         if first_energy is None:
             first_energy = E
-        seam = find_seam(E, delta_x, rigidity)
+        seam = find_seam(E, delta_x, rigidity, tie)
         vmap[np.arange(H), origcol[np.arange(H), seam]] = k
         cur = _remove_seam(cur, seam)
         luma = _remove_seam(luma, seam)

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dp_kernel import _interpret_default, pallas_supported, ROW_BLOCK
+from .dp_kernel import (_interpret_default, _parent_select, pallas_supported,
+                        ROW_BLOCK)
 
 __all__ = ["find_seams_vec", "vec_supported"]
 
@@ -44,7 +45,7 @@ def vec_supported(B: int, H: int, W: int) -> bool:
             and ROW_BLOCK * B * W * 4 <= MAX_BLOCK_BYTES)
 
 
-def _make_vec_dp_kernel(B: int, R: int):
+def _make_vec_dp_kernel(B: int, R: int, rightmost: bool = False):
     LANE = 128
 
     def kernel(wl_ref, e_ref, parents_ref, mlast_ref, carry):
@@ -76,11 +77,7 @@ def _make_vec_dp_kernel(B: int, R: int):
             left = pltpu.roll(prev, 1, axis=1)
             right = pltpu.roll(prev, W2 - 1, axis=1)   # == shift -1
             m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
-            p = jnp.where(
-                left <= prev,
-                jnp.where(left <= right, -1, 1),
-                jnp.where(prev <= right, 0, 1),
-            ).astype(jnp.int8)
+            p = _parent_select(left, prev, right, rightmost).astype(jnp.int8)
             prev = m
             pb.append(p[:, :W])
         carry[:] = prev
@@ -117,9 +114,10 @@ def _make_vec_bt_kernel(B: int, R: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tie"))
 def find_seams_vec(E: jax.Array, width: jax.Array, lo: jax.Array, *,
-                   interpret: bool | None = None) -> jax.Array:
+                   interpret: bool | None = None,
+                   tie: str = "leftmost") -> jax.Array:
     """E (B, H, W) f32, width/lo (B,) i32 -> (B, H) i32 seams; decisions
     bitwise-identical per image to `dp_kernel.find_seam_pallas`."""
     B, H, W = E.shape
@@ -134,7 +132,7 @@ def find_seams_vec(E: jax.Array, width: jax.Array, lo: jax.Array, *,
     ], axis=1)
 
     parents, mlast = pl.pallas_call(
-        _make_vec_dp_kernel(B, R),
+        _make_vec_dp_kernel(B, R, tie == "rightmost"),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -159,7 +157,11 @@ def find_seams_vec(E: jax.Array, width: jax.Array, lo: jax.Array, *,
         (col >= wl[:, 1:2]) & (col < wl[:, 1:2] + wl[:, 0:1]),
         mlast, jnp.inf,
     )
-    j_last = jnp.argmin(masked, axis=1).astype(jnp.int32)  # leftmost per image
+    if tie == "leftmost":
+        j_last = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    else:
+        j_last = (W - 1 - jnp.argmin(masked[:, ::-1], axis=1)
+                  ).astype(jnp.int32)  # rightmost per image
 
     seam_t = pl.pallas_call(
         _make_vec_bt_kernel(B, R),

@@ -40,54 +40,78 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# ----------------------------------------------------------------- forward --
-
-def _dp_forward_kernel(width_ref, e_ref, parents_ref, mlast_ref, carry):
-    """DP over the column window [lo, lo+width); cols outside are +inf.
-
-    The left window edge needs no special-casing: masked cells carry inf, so
-    the left/right candidates at the window borders are inf automatically;
-    the `colids == 0 / W-1` guards only fix the roll wraparound at the
-    physical buffer edges."""
-    b = pl.program_id(0)
-    R, W = e_ref.shape
-    colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    inf = jnp.float32(jnp.inf)
-    width = width_ref[0]
-    lo = width_ref[1]
-
-    def row_fn(r, _):
-        e_row = e_ref[pl.ds(r, 1), :]
-        e_row = jnp.where(
-            (colids >= lo) & (colids < lo + width), e_row, inf
-        )
-        prev = carry[:]
-        left = pltpu.roll(prev, 1, axis=1)
-        right = pltpu.roll(prev, W - 1, axis=1)  # == shift -1 (must be >= 0)
-        left = jnp.where(colids == 0, inf, left)
-        right = jnp.where(colids == W - 1, inf, right)
-        # same op order as ops/dp.py: E + min(min(left, center), right)
-        m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
-        # leftmost-min predecessor (matches oracle.backtrack_seam ties)
-        p = jnp.where(
+def _parent_select(left, prev, right, rightmost: bool):
+    """Vectorized parent direction (-1/0/+1) with the `tie`-most-min rule —
+    identical decisions to _argmin_tie over the 3-candidate window (the
+    S1/S2 spec knob, docs/PARITY.md)."""
+    if not rightmost:
+        return jnp.where(
             left <= prev,
             jnp.where(left <= right, -1, 1),
             jnp.where(prev <= right, 0, 1),
-        ).astype(jnp.int32)
-        is_first = jnp.logical_and(b == 0, r == 0)
-        m = jnp.where(is_first, e_row, m)
-        p = jnp.where(is_first, 0, p)
-        carry[:] = m
-        parents_ref[pl.ds(r, 1), :] = p.astype(parents_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, R, row_fn, 0, unroll=True)
-    mlast_ref[:] = carry[:]
+        )
+    return jnp.where(
+        right <= prev,
+        jnp.where(right <= left, 1, -1),
+        jnp.where(prev <= left, 0, -1),
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _last_row_arg(m_last, colids, mn, rightmost: bool):
+    """Column of the `tie`-most minimum of the masked last row."""
+    if not rightmost:
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        return jnp.min(jnp.where(m_last == mn, colids, big))
+    return jnp.max(jnp.where(m_last == mn, colids, jnp.int32(-1)))
+
+
+# ----------------------------------------------------------------- forward --
+
+def _make_dp_forward_kernel(rightmost: bool):
+    def kernel(width_ref, e_ref, parents_ref, mlast_ref, carry):
+        """DP over the column window [lo, lo+width); cols outside are +inf.
+
+        The left window edge needs no special-casing: masked cells carry
+        inf, so the left/right candidates at the window borders are inf
+        automatically; the `colids == 0 / W-1` guards only fix the roll
+        wraparound at the physical buffer edges."""
+        b = pl.program_id(0)
+        R, W = e_ref.shape
+        colids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        inf = jnp.float32(jnp.inf)
+        width = width_ref[0]
+        lo = width_ref[1]
+
+        def row_fn(r, _):
+            e_row = e_ref[pl.ds(r, 1), :]
+            e_row = jnp.where(
+                (colids >= lo) & (colids < lo + width), e_row, inf
+            )
+            prev = carry[:]
+            left = pltpu.roll(prev, 1, axis=1)
+            right = pltpu.roll(prev, W - 1, axis=1)  # == shift -1 (>= 0)
+            left = jnp.where(colids == 0, inf, left)
+            right = jnp.where(colids == W - 1, inf, right)
+            # same op order as ops/dp.py: E + min(min(left, center), right)
+            m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
+            # tie-most-min predecessor (matches oracle.backtrack_seam ties)
+            p = _parent_select(left, prev, right, rightmost).astype(jnp.int32)
+            is_first = jnp.logical_and(b == 0, r == 0)
+            m = jnp.where(is_first, e_row, m)
+            p = jnp.where(is_first, 0, p)
+            carry[:] = m
+            parents_ref[pl.ds(r, 1), :] = p.astype(parents_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, R, row_fn, 0, unroll=True)
+        mlast_ref[:] = carry[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tie"))
 def dp_forward(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
-               interpret: bool | None = None):
+               interpret: bool | None = None, tie: str = "leftmost"):
     """E (H, W) f32, W % 128 == 0, H % ROW_BLOCK == 0; the DP runs over the
     column window [lo, lo+width) (other cols masked to +inf).
 
@@ -98,7 +122,7 @@ def dp_forward(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
     grid = (H // ROW_BLOCK,)
     wl = jnp.stack([jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)])
     return pl.pallas_call(
-        _dp_forward_kernel,
+        _make_dp_forward_kernel(tie == "rightmost"),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -185,7 +209,7 @@ def fused_seam_supported(H: int, W: int) -> bool:
     return pallas_supported(H, W) and H * W <= MAX_FUSED_PARENT_BYTES
 
 
-def _make_fused_seam_kernel(nb: int):
+def _make_fused_seam_kernel(nb: int, rightmost: bool = False):
     """One kernel per seam (batch-aware: grid step g = image e = g // nb,
     row block b = g % nb): forward DP into VMEM-resident parents; on the
     image's last grid step, masked leftmost argmin of the frontier + full
@@ -216,14 +240,14 @@ def _make_fused_seam_kernel(nb: int):
         in_win = (colids >= lo) & (colids < lo + width)
         return _fused_seam_body(
             b, nb, R, W, colids, inf, width, lo, in_win,
-            e_ref, seam_ref, parents, carry,
+            e_ref, seam_ref, parents, carry, rightmost,
         )
 
     return kernel
 
 
 def _fused_seam_body(b, nb, R, W, colids, inf, width, lo, in_win,
-                     e_ref, seam_ref, parents, carry):
+                     e_ref, seam_ref, parents, carry, rightmost=False):
     # The carry rows are WIDENED by one 128-lane group of permanent +inf
     # dead columns (W2 = W + 128).  The lane rolls then wrap through that
     # tail: left[0] = prev[W2-1] = inf and right[W2-1] lands in the dead
@@ -254,11 +278,7 @@ def _fused_seam_body(b, nb, R, W, colids, inf, width, lo, in_win,
         left = pltpu.roll(prev, 1, axis=1)
         right = pltpu.roll(prev, W2 - 1, axis=1)  # == shift -1
         m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
-        p = jnp.where(
-            left <= prev,
-            jnp.where(left <= right, -1, 1),
-            jnp.where(prev <= right, 0, 1),
-        ).astype(jnp.int32)
+        p = _parent_select(left, prev, right, rightmost).astype(jnp.int32)
         prev = m
         pb.append(p[:, :W].astype(jnp.int8))
     carry[:] = prev
@@ -268,8 +288,7 @@ def _fused_seam_body(b, nb, R, W, colids, inf, width, lo, in_win,
     def _backtrack():
         m_last = jnp.where(in_win, carry[:, :W], inf)
         mn = jnp.min(m_last)
-        big = jnp.int32(jnp.iinfo(jnp.int32).max)
-        j0 = jnp.min(jnp.where(m_last == mn, colids, big))  # leftmost min
+        j0 = _last_row_arg(m_last, colids, mn, rightmost)
 
         H = parents.shape[0]
         # walk in the largest 8-multiple stride that divides H: the
@@ -312,9 +331,10 @@ def _fused_seam_body(b, nb, R, W, colids, inf, width, lo, in_win,
         jax.lax.fori_loop(0, nbb, blk_fn, j0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tie"))
 def _fused_find_seam_batched(E: jax.Array, width: jax.Array, lo: jax.Array, *,
-                             interpret: bool | None = None) -> jax.Array:
+                             interpret: bool | None = None,
+                             tie: str = "leftmost") -> jax.Array:
     """E (B, H, W) f32, width/lo (B,) i32 -> (B, H) i32 seams.  One flattened
     kernel launch: grid (B * H/ROW_BLOCK), parents scratch reused per image."""
     B, H, W = E.shape
@@ -326,7 +346,7 @@ def _fused_find_seam_batched(E: jax.Array, width: jax.Array, lo: jax.Array, *,
         jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,)),
     ], axis=1)
     seam2d = pl.pallas_call(
-        _make_fused_seam_kernel(nb),
+        _make_fused_seam_kernel(nb, tie == "rightmost"),
         grid=(B * nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -346,7 +366,7 @@ def _fused_find_seam_batched(E: jax.Array, width: jax.Array, lo: jax.Array, *,
 
 
 @functools.lru_cache(maxsize=None)
-def _find_seam_cv(interpret: bool | None):
+def _find_seam_cv(interpret: bool | None, tie: str = "leftmost"):
     """custom_vmap wrapper: `jax.vmap` maps to the flattened batched kernel
     instead of the (Mosaic-unsupported) generic batched BlockSpec rule."""
     from jax.custom_batching import custom_vmap
@@ -354,7 +374,7 @@ def _find_seam_cv(interpret: bool | None):
     @custom_vmap
     def f(E, width, lo):
         return _fused_find_seam_batched(
-            E[None], width, lo, interpret=interpret
+            E[None], width, lo, interpret=interpret, tie=tie
         )[0]
 
     @f.def_vmap
@@ -370,8 +390,10 @@ def _find_seam_cv(interpret: bool | None):
         if vec_supported(B, H, W):
             # batch packed into sublanes: one VPU recurrence step advances
             # every image's DP row (serial chain H instead of B*H)
-            return find_seams_vec(E, width, lo, interpret=interpret), True
-        return _fused_find_seam_batched(E, width, lo, interpret=interpret), True
+            return find_seams_vec(E, width, lo, interpret=interpret,
+                                  tie=tie), True
+        return _fused_find_seam_batched(E, width, lo, interpret=interpret,
+                                        tie=tie), True
 
     return f
 
@@ -395,7 +417,7 @@ def _pick_row_block(H: int) -> int:
     return next(s for s in (64, 56, 48, 40, 32, 24, 16, 8) if H % s == 0)
 
 
-def _make_folded_dp_kernel(R: int, F: int, Wf: int):
+def _make_folded_dp_kernel(R: int, F: int, Wf: int, rightmost: bool = False):
     def kernel(wl_ref, e_ref, parents_ref, mlast_ref, carry):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
@@ -430,11 +452,7 @@ def _make_folded_dp_kernel(R: int, F: int, Wf: int):
             c2 = pltpu.roll(c, F - 1, axis=0)
             right = jnp.where(last, inf, jnp.where(laneL, c2, c))
             m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
-            p = jnp.where(
-                left <= prev,
-                jnp.where(left <= right, -1, 1),
-                jnp.where(prev <= right, 0, 1),
-            ).astype(jnp.int8)
+            p = _parent_select(left, prev, right, rightmost).astype(jnp.int8)
             prev = m
             pb.append(p)
         carry[:] = prev
@@ -488,9 +506,10 @@ def _make_window_bt_kernel(BR: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tie"))
 def _folded_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
-                      interpret: bool | None = None) -> jax.Array:
+                      interpret: bool | None = None,
+                      tie: str = "leftmost") -> jax.Array:
     """Folded forward + windowed backtrack; decisions bitwise-identical to
     `_fused_find_seam` (same op order and tie rules on the same values)."""
     H, W = E.shape
@@ -502,7 +521,7 @@ def _folded_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
     wl = jnp.stack([jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)])
 
     parents_f, mlast_f = pl.pallas_call(
-        _make_folded_dp_kernel(R, F, Wf),
+        _make_folded_dp_kernel(R, F, Wf, tie == "rightmost"),
         grid=(H // R,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -526,7 +545,9 @@ def _folded_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
     mlast = mlast_f.reshape(1, W)
     col = jnp.arange(W)
     masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)
-    j_last = jnp.argmin(masked).astype(jnp.int32)  # leftmost min
+    from ..ops.dp import _argmin_tie
+
+    j_last = _argmin_tie(masked, tie)
 
     BR = _pick_row_block(H)
     seam2d = pl.pallas_call(
@@ -549,7 +570,8 @@ def _folded_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
 # ------------------------------------------------------------------ driver --
 
 def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
-                     interpret: bool | None = None) -> jax.Array:
+                     interpret: bool | None = None,
+                     tie: str = "leftmost") -> jax.Array:
     """Masked find-seam over the column window [lo, lo+width):
     (H, W) f32 energy -> (H,) int32 seam (buffer coordinates).
 
@@ -563,28 +585,31 @@ def find_seam_pallas(E: jax.Array, width: jax.Array, lo: jax.Array = 0, *,
     Composable with `jax.vmap` (batch lowers to one flattened kernel)."""
     H, W = E.shape
     if fused_seam_supported(H, W):
-        return _find_seam_cv(interpret)(
+        return _find_seam_cv(interpret, tie)(
             E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32)
         )
     if (W // FOLD) % LANE == 0:
         return _folded_find_seam(
             E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32),
-            interpret=interpret,
+            interpret=interpret, tie=tie,
         )
     return _streamed_find_seam(
         E, jnp.asarray(width, jnp.int32), jnp.asarray(lo, jnp.int32),
-        interpret=interpret,
+        interpret=interpret, tie=tie,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tie"))
 def _streamed_find_seam(E: jax.Array, width: jax.Array, lo: jax.Array, *,
-                        interpret: bool | None = None) -> jax.Array:
+                        interpret: bool | None = None,
+                        tie: str = "leftmost") -> jax.Array:
     """Fallback for big images whose folded lane dim is unaligned: streamed
-    forward (parents to HBM) + leftmost argmin + streamed backtrack."""
-    parents, mlast = dp_forward(E, width, lo, interpret=interpret)
+    forward (parents to HBM) + tie-most argmin + streamed backtrack."""
+    parents, mlast = dp_forward(E, width, lo, interpret=interpret, tie=tie)
     W = E.shape[1]
     col = jnp.arange(W)
     masked = jnp.where((col >= lo) & (col < lo + width), mlast[0], jnp.inf)
-    j_last = jnp.argmin(masked).astype(jnp.int32)  # leftmost min
+    from ..ops.dp import _argmin_tie
+
+    j_last = _argmin_tie(masked, tie)
     return dp_backtrack(parents, j_last, interpret=interpret)

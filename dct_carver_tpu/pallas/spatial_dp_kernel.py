@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dp_kernel import _interpret_default
+from .dp_kernel import _interpret_default, _parent_select
 
 __all__ = ["block_dp_rows", "block_dp_supported",
            "seg_walk_rows", "seg_walk_supported",
@@ -141,7 +141,8 @@ def seg_walk_supported(K: int, delta_x: int = 1) -> bool:
     return delta_x == 1 and 2 * K + 1 <= 2 * LANE
 
 
-def _make_seg_walk_kernel(Kb: int, ww: int, j0: int, CW: int):
+def _make_seg_walk_kernel(Kb: int, ww: int, j0: int, CW: int,
+                          rightmost: bool = False):
 
     def kernel(win_ref, seg_ref):
         inf = jnp.float32(jnp.inf)
@@ -149,15 +150,11 @@ def _make_seg_walk_kernel(Kb: int, ww: int, j0: int, CW: int):
         colsb = jax.lax.broadcasted_iota(jnp.int32, (Kb, CW), 1)
         wp = jnp.where(colsb < ww, win_ref[:, :], inf)
         # vectorized per-cell parent direction — identical tie rules to the
-        # scalar 3-window argmin (leftmost min): see dp_kernel forward
+        # scalar 3-window argmin (tie-most min): see dp_kernel forward
         left = jnp.where(colsb == 0, inf, pltpu.roll(wp, 1, axis=1))
         right = jnp.where(colsb == CW - 1, inf,
                           pltpu.roll(wp, CW - 1, axis=1))
-        pall = jnp.where(
-            left <= wp,
-            jnp.where(left <= right, -1, 1),
-            jnp.where(wp <= right, 0, 1),
-        )
+        pall = _parent_select(left, wp, right, rightmost)
         o = (cols == j0).astype(jnp.int32)
         rows = []
         for r in range(Kb - 1, -1, -1):  # bottom-up, static
@@ -172,10 +169,11 @@ def _make_seg_walk_kernel(Kb: int, ww: int, j0: int, CW: int):
 
 
 def seg_walk_rows(win: jax.Array, j0: int, *,
-                  interpret: bool | None = None) -> jax.Array:
+                  interpret: bool | None = None,
+                  tie: str = "leftmost") -> jax.Array:
     """Backtrack one segment: win (Kb, ww) f32 M-rows (ww = 2K+1 <= 128),
     starting at local position `j0` below the last row -> (Kb,) i32 local
-    positions, walking bottom-up with the leftmost-min 3-window rule.
+    positions, walking bottom-up with the tie-most-min 3-window rule.
     Bitwise identical to the scalar dynamic-slice scan."""
     Kb, ww = win.shape
     if interpret is None:
@@ -184,7 +182,7 @@ def seg_walk_rows(win: jax.Array, j0: int, *,
     winp = jnp.pad(win, ((0, 0), (0, CW - ww)),
                    constant_values=jnp.inf)
     seg = pl.pallas_call(
-        _make_seg_walk_kernel(Kb, ww, j0, CW),
+        _make_seg_walk_kernel(Kb, ww, j0, CW, tie == "rightmost"),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=_out_struct((Kb, 1), jnp.int32, win),

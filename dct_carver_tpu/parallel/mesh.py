@@ -34,7 +34,7 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("n_seams", "blocksize", "strip_update", "luma_mode",
-                     "energy_fn", "delta_x", "rigidity"),
+                     "energy_fn", "delta_x", "rigidity", "tie"),
 )
 def batch_carve_states(
     images: jax.Array,
@@ -47,6 +47,7 @@ def batch_carve_states(
     energy_fn=None,
     delta_x: int = 1,
     rigidity: float = 0.0,
+    tie: str = "leftmost",
 ):
     """vmap'ed carve over a batch of identically-shaped images (B,H,W[,C]).
 
@@ -57,7 +58,7 @@ def batch_carve_states(
     return jax.vmap(
         lambda l: carve_ops.carve_n_seams(
             l, n_seams, blocksize, edges, textures, strip_update=strip_update,
-            energy_fn=energy_fn, delta_x=delta_x, rigidity=rigidity,
+            energy_fn=energy_fn, delta_x=delta_x, rigidity=rigidity, tie=tie,
         )
     )(lumas)
 
@@ -76,6 +77,7 @@ def carve_batch(
     luma: str = "bt709",
     delta_x: int = 1,
     rigidity: float = 0.0,
+    tie: str = "leftmost",
 ):
     """Remove `n_seams` vertical seams from every image in a batch, data-parallel
     over `mesh` (config 4 of BASELINE.md: 1024 × 1-Mpix images, 128 seams).
@@ -102,7 +104,7 @@ def carve_batch(
     states = batch_carve_states(
         images, n_seams, blocksize, edges, textures, strip_update,
         luma_mode=luma, energy_fn=resolve_energy(energy),
-        delta_x=delta_x, rigidity=rigidity,
+        delta_x=delta_x, rigidity=rigidity, tie=tie,
     )
     if not reconstruct:
         return None, states.vmap[:B]

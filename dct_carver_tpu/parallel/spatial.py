@@ -266,7 +266,7 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
 
 def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
               delta_x: int = 1, rigidity: float = 0.0,
-              use_pallas: bool = False):
+              use_pallas: bool = False, tie: str = "leftmost"):
     """Walk one backtrack segment locally on the owner shard of `j_bottom`,
     then broadcast it.  ext_M_rows: (Kb, We) rows [s-1, e-1) of ext_M;
     j_bottom: () i32 global seam column at row e-1 (replicated).  Returns
@@ -288,18 +288,19 @@ def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
     win = jax.lax.dynamic_slice(ext_M_rows, (0, wstart), (Kb, 2 * K * d + 1))
     if use_pallas and seg_walk_supported(K, d) and rigidity == 0.0:
         # one-hot window walk in one kernel (bitwise == the scalar scan)
-        seg = seg_walk_rows(win, K)
+        seg = seg_walk_rows(win, K, tie=tie)
     else:
         winp = jnp.pad(win, ((0, 0), (d, d)), constant_values=jnp.inf)
         pen = jnp.asarray(_rigidity_penalties(d, rigidity, jnp.float32),
                           jnp.float32)
+        from ..ops.dp import _argmin_tie
 
         def step(jl, row_p):
-            # padded (2d+1)-window [jl-d .. jl+d]; leftmost-min tie
+            # padded (2d+1)-window [jl-d .. jl+d]; tie-most-min rule
             wd = jax.lax.dynamic_slice(row_p, (jl,), (2 * d + 1,))
             if rigidity != 0.0:
                 wd = wd + pen
-            jn = jl - d + jnp.argmin(wd).astype(jnp.int32)
+            jn = jl - d + _argmin_tie(wd, tie)
             return jn, jn
 
         _, seg_rev = jax.lax.scan(step, _pvary(jnp.int32(K * d), axis),
@@ -312,8 +313,8 @@ def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
 
 def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
                        delta_x: int = 1, rigidity: float = 0.0,
-                       use_pallas: bool = False):
-    """Global leftmost-min backtrack over the blocked sharded M.
+                       use_pallas: bool = False, tie: str = "leftmost"):
+    """Global tie-most-min backtrack over the blocked sharded M.
     Returns (H,) global seam columns, replicated on every shard."""
     H, We = ext_M.shape
     Hh = 2 * K * delta_x
@@ -322,14 +323,20 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
     lo = idx * Wl
     inf = jnp.float32(jnp.inf)
 
-    # leftmost global argmin of the masked last row
+    # tie-most global argmin of the masked last row: local tie-most argmin
+    # per shard, then min/max over the shards holding the global minimum
     col_g = lo + jnp.arange(Wl)
     last = jnp.where(col_g < width, ext_M[-1, Hh:Hh + Wl], inf)
     lmin = jnp.min(last)
-    larg = (lo + jnp.argmin(last)).astype(jnp.int32)
     gmin = jax.lax.pmin(lmin, axis)
-    cand = jnp.where(lmin == gmin, larg, jnp.iinfo(jnp.int32).max)
-    j = jax.lax.pmin(cand, axis).astype(jnp.int32)
+    if tie == "leftmost":
+        larg = (lo + jnp.argmin(last)).astype(jnp.int32)
+        cand = jnp.where(lmin == gmin, larg, jnp.iinfo(jnp.int32).max)
+        j = jax.lax.pmin(cand, axis).astype(jnp.int32)
+    else:
+        larg = (lo + Wl - 1 - jnp.argmin(last[::-1])).astype(jnp.int32)
+        cand = jnp.where(lmin == gmin, larg, jnp.int32(-1))
+        j = jax.lax.pmax(cand, axis).astype(jnp.int32)
     j_last = j
 
     nfull, rem = H // K, H % K
@@ -337,13 +344,13 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
 
     if nfull == 0:
         seg = _seg_walk(ext_M[: H - 1], j, Wl, K, axis, delta_x,
-                        rigidity, use_pallas)    # rows [0, H-1)
+                        rigidity, use_pallas, tie)  # rows [0, H-1)
         segs.append(seg)
     else:
         if rem:
             # remainder chunk: rows [nfull*K - 1, H - 1)
             seg = _seg_walk(ext_M[nfull * K - 1: H - 1], j, Wl, K, axis,
-                            delta_x, rigidity, use_pallas)
+                            delta_x, rigidity, use_pallas, tie)
             segs.append(seg)
             j = seg[0]
         if nfull > 1:
@@ -351,7 +358,7 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
                 rows = jax.lax.dynamic_slice(
                     ext_M, (b * K - 1, 0), (K, We))    # rows [bK-1, bK+K-1)
                 seg = _seg_walk(rows, jc, Wl, K, axis, delta_x, rigidity,
-                                use_pallas)
+                                use_pallas, tie)
                 return seg[0], seg
 
             bs = jnp.arange(nfull - 1, 0, -1)
@@ -360,7 +367,7 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
             segs.append(seg_stack[::-1].reshape((nfull - 1) * K))
         # block-0 chunk: rows [0, K-1)
         seg0 = _seg_walk(ext_M[: K - 1], j, Wl, K, axis, delta_x, rigidity,
-                          use_pallas)
+                          use_pallas, tie)
         segs.append(seg0)
 
     return jnp.concatenate(segs[::-1] + [j_last[None]])
@@ -522,7 +529,7 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                        Wl: int, K: int, strip_update: bool, with_image: bool,
                        axis, unroll: bool = False, delta_x: int = 1,
                        rigidity: float = 0.0, use_pallas: bool = False,
-                       energy_fn=None):
+                       energy_fn=None, tie: str = "leftmost"):
     """One full sharded seam: DP -> backtrack -> vmap record -> compaction ->
     energy update.  `st` is the 6-tuple of per-shard state; `label` is the
     1-based seam number written into the visibility map.  `unroll=True`
@@ -539,7 +546,7 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                         use_pallas=use_pallas)
     seam = _sharded_backtrack(ext_M, width, K, axis, unroll=unroll,
                               delta_x=delta_x, rigidity=rigidity,
-                              use_pallas=use_pallas)  # (H,)
+                              use_pallas=use_pallas, tie=tie)  # (H,)
 
     # record the seam at original coordinates — one-hot masked passes (the
     # row-indexed gather + scatter lower to slow general forms, ~0.9 ms at
@@ -770,6 +777,7 @@ def spatial_enlarge_n_seams(
     use_pallas: bool | None = None,
     energy=None,
     progress=None,
+    tie: str = "leftmost",
     chunk: int = 0,
     checkpoint_dir: str | None = None,
     resume_from: str | None = None,
@@ -791,7 +799,7 @@ def spatial_enlarge_n_seams(
         luma, n_seams, blocksize=blocksize, edges=edges, textures=textures,
         mesh=mesh, axis=axis, frontier_block=frontier_block,
         strip_update=strip_update, delta_x=delta_x, rigidity=rigidity,
-        use_pallas=use_pallas, energy=energy, progress=progress,
+        use_pallas=use_pallas, energy=energy, progress=progress, tie=tie,
         chunk=chunk, checkpoint_dir=checkpoint_dir, resume_from=resume_from,
     )
     image = jnp.asarray(image)
@@ -865,12 +873,12 @@ def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
     jax.jit, static_argnames=("count", "blocksize", "mesh", "axis",
                               "frontier_block", "strip_update", "with_image",
                               "delta_x", "rigidity", "use_pallas",
-                              "energy_fn")
+                              "energy_fn", "tie")
 )
 def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                        mesh, axis, frontier_block, strip_update, with_image,
                        delta_x=1, rigidity=0.0, use_pallas=False,
-                       energy_fn=None):
+                       energy_fn=None, tie="leftmost"):
     """Carve `count` seams starting at 1-based label seam_base+1."""
     H, W = state.luma.shape
     nsh = mesh.shape[axis]
@@ -883,7 +891,7 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                 st, base + i + 1, blocksize, edges, textures, W, Wl, K,
                 strip_update, with_image, axis, delta_x=delta_x,
                 rigidity=rigidity, use_pallas=use_pallas,
-                energy_fn=energy_fn,
+                energy_fn=energy_fn, tie=tie,
             )
 
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
@@ -979,6 +987,7 @@ def spatial_carve_n_seams(
     use_pallas: bool | None = None,
     energy=None,
     progress=None,
+    tie: str = "leftmost",
 ) -> SpatialCarveResult:
     """Carve `n_seams` from one column-sharded image.  `luma` (H, W), any W
     (non-divisible widths are edge-padded internally, see
@@ -1014,6 +1023,9 @@ def spatial_carve_n_seams(
         # auto: per-shard block kernels on a real TPU (interpret mode on
         # CPU is bitwise-correct but slower than the scan; tests opt in)
         use_pallas = jax.default_backend() == "tpu"
+    from ..ops.dp import check_tie
+
+    check_tie(tie)
     energy_fn = resolve_energy(energy)
     n_eff = energy_fn.n if energy_fn is not None else blocksize
     W = luma.shape[1]
@@ -1036,6 +1048,7 @@ def spatial_carve_n_seams(
         "with_image": bool(with_image),
         "image_ndim": int(np.asarray(image).ndim) if with_image else 0,
         "energy": energy_fn.name if energy_fn is not None else "dct",
+        "tie": tie,
     }
 
     done = 0
@@ -1073,7 +1086,7 @@ def spatial_carve_n_seams(
         state = _spatial_chunk_jit(
             state, jnp.int32(done), count, blocksize, edges, textures,
             mesh, axis, frontier_block, strip_update, with_image,
-            delta_x, rigidity, bool(use_pallas), energy_fn,
+            delta_x, rigidity, bool(use_pallas), energy_fn, tie,
         )
         state = jax.block_until_ready(state)
         done += count

@@ -277,6 +277,7 @@ def carve_resumable(
                 s, (start + i + 1).astype(jnp.int32), config.blocksize,
                 config.edges, config.textures, strip, use_pallas,
                 config.delta_x, config.rigidity, energy_fn,
+                getattr(config, "tie", "leftmost"),
             )
         return jax.lax.fori_loop(0, count, body, state)
 

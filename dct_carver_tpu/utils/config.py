@@ -28,6 +28,10 @@ class CarverConfig:
     # --- liblqr lqr_carver_init generalization (src/render.c:313 uses 1, 0) ---
     delta_x: int = 1            # max seam step per row (>= 1)
     rigidity: float = 0.0       # step penalty: rigidity * |dx| / delta_x
+    # DP tie rule (the S1/S2 spec knob, docs/PARITY.md): the real convention
+    # lives inside external liblqr; either can be matched with this flag,
+    # applied identically in oracle / native C++ / scan / Pallas / spatial.
+    tie: str = "leftmost"       # "leftmost" | "rightmost"
 
     # --- lqr_carver_set_energy_function analog (src/render.c:314-315) ---
     # None/'dct' = the reference's DCT energy (blocksize/edges/textures);
@@ -58,6 +62,9 @@ class CarverConfig:
             raise ValueError(f"delta_x must be >= 1, got {self.delta_x}")
         if self.rigidity < 0:
             raise ValueError(f"rigidity must be >= 0, got {self.rigidity}")
+        if self.tie not in ("leftmost", "rightmost"):
+            raise ValueError(
+                f"tie must be 'leftmost' or 'rightmost', got {self.tie!r}")
         if self.parallel not in ("none", "batch", "spatial", "auto"):
             raise ValueError(
                 f"parallel must be none/batch/spatial/auto, got "

@@ -56,7 +56,7 @@ def _load():
         lib.dc_carve.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
         lib.dc_carve.restype = ctypes.c_int
         lib.dc_energy_map_f32.argtypes = [
@@ -68,7 +68,7 @@ def _load():
         lib.dc_carve_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
         lib.dc_carve_f32.restype = ctypes.c_int
         _LIB = lib
@@ -99,8 +99,11 @@ def energy_map_native(luma: np.ndarray, blocksize: int, edges: float,
 
 
 def carve_native(luma: np.ndarray, n_seams: int, blocksize: int,
-                 edges: float, textures: float) -> np.ndarray:
-    """luma (H, W) float64 -> int32 (H, W) visibility map."""
+                 edges: float, textures: float,
+                 tie: str = "leftmost") -> np.ndarray:
+    """luma (H, W) float64 -> int32 (H, W) visibility map.  `tie` is the
+    S1/S2 DP tie knob (docs/PARITY.md), applied identically to the JAX
+    paths."""
     lib = _load()
     luma = np.ascontiguousarray(luma, dtype=np.float64)
     H, W = luma.shape
@@ -109,6 +112,7 @@ def carve_native(luma: np.ndarray, n_seams: int, blocksize: int,
         luma.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), H, W,
         blocksize, edges, textures, n_seams,
         vmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        1 if tie == "rightmost" else 0,
     )
     if rc != 0:
         raise ValueError(f"dc_carve failed with code {rc}")
@@ -132,7 +136,8 @@ def energy_map_native_f32(luma: np.ndarray, blocksize: int, edges: float,
 
 
 def carve_native_f32(luma: np.ndarray, n_seams: int, blocksize: int,
-                     edges: float, textures: float) -> np.ndarray:
+                     edges: float, textures: float,
+                     tie: str = "leftmost") -> np.ndarray:
     """f32-chain carve: the independent seam oracle for the SHIPPING config
     (f32 energy + f32 DP).  luma (H, W) float32 -> int32 visibility map."""
     lib = _load()
@@ -143,6 +148,7 @@ def carve_native_f32(luma: np.ndarray, n_seams: int, blocksize: int,
         luma.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), H, W,
         blocksize, edges, textures, n_seams,
         vmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        1 if tie == "rightmost" else 0,
     )
     if rc != 0:
         raise ValueError(f"dc_carve_f32 failed with code {rc}")

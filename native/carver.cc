@@ -161,7 +161,7 @@ void dc_energy_map(const double* luma, int H, int W, int blocksize,
 // (original coordinates; k = removed as k-th seam) into vmap (H*W).
 // Returns 0 on success, nonzero on bad arguments.
 int dc_carve(const double* luma_in, int H, int W, int blocksize, float edges,
-             float textures, int n_seams, int32_t* vmap) {
+             float textures, int n_seams, int32_t* vmap, int tie_rightmost) {
   if (n_seams < 0 || n_seams >= W) return 1;
   if (!(blocksize == 2 || blocksize == 4 || blocksize == 8 || blocksize == 16))
     return 2;
@@ -203,13 +203,16 @@ int dc_carve(const double* luma_in, int H, int W, int blocksize, float edges,
         cur[x] = e[x] + m;
       }
     }
-    // leftmost argmin of last row
+    // tie-most argmin of last row (S1 knob: leftmost scans with <,
+    // rightmost with <= so the last tied minimum wins)
     int j = 0;
     {
       const float* last = &M[(H - 1) * size_t(W)];
       float best = last[0];
       for (int x = 1; x < w; ++x)
-        if (last[x] < best) { best = last[x]; j = x; }
+        if (tie_rightmost ? (last[x] <= best) : (last[x] < best)) {
+          best = last[x]; j = x;
+        }
     }
     seam[H - 1] = j;
     for (int y = H - 2; y >= 0; --y) {
@@ -219,7 +222,9 @@ int dc_carve(const double* luma_in, int H, int W, int blocksize, float edges,
       int arg = lo;
       float best = row[lo];
       for (int x = lo + 1; x <= hi; ++x)
-        if (row[x] < best) { best = row[x]; arg = x; }
+        if (tie_rightmost ? (row[x] <= best) : (row[x] < best)) {
+          best = row[x]; arg = x;
+        }
       j = arg;
       seam[y] = j;
     }
@@ -268,7 +273,8 @@ void dc_energy_map_f32(const float* luma, int H, int W, int blocksize,
 // f32-chain carve: same contract as dc_carve but the energy is the
 // production f32 chain, so seams are comparable to the shipping JAX config.
 int dc_carve_f32(const float* luma_in, int H, int W, int blocksize,
-                 float edges, float textures, int n_seams, int32_t* vmap) {
+                 float edges, float textures, int n_seams, int32_t* vmap,
+                 int tie_rightmost) {
   if (n_seams < 0 || n_seams >= W) return 1;
   if (!(blocksize == 2 || blocksize == 4 || blocksize == 8 || blocksize == 16))
     return 2;
@@ -313,7 +319,9 @@ int dc_carve_f32(const float* luma_in, int H, int W, int blocksize,
       const float* last = &M[(H - 1) * size_t(W)];
       float best = last[0];
       for (int x = 1; x < w; ++x)
-        if (last[x] < best) { best = last[x]; j = x; }
+        if (tie_rightmost ? (last[x] <= best) : (last[x] < best)) {
+          best = last[x]; j = x;
+        }
     }
     seam[H - 1] = j;
     for (int y = H - 2; y >= 0; --y) {
@@ -323,7 +331,9 @@ int dc_carve_f32(const float* luma_in, int H, int W, int blocksize,
       int arg = lo;
       float best = row[lo];
       for (int x = lo + 1; x <= hi; ++x)
-        if (row[x] < best) { best = row[x]; arg = x; }
+        if (tie_rightmost ? (row[x] <= best) : (row[x] < best)) {
+          best = row[x]; arg = x;
+        }
       j = arg;
       seam[y] = j;
     }

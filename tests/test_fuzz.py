@@ -82,6 +82,90 @@ def test_random_config_generalized_dp_parity(trial):
     )
 
 
+def _tie_corpus(rng, h, w, kind):
+    """Images that FORCE exact DP ties (docs/PARITY.md S1/S2)."""
+    if kind == "constant":       # zero energy everywhere -> all-ties DP
+        return np.full((h, w, 3), 137, np.uint8)
+    if kind == "stripes":        # periodic columns -> exact-equal energies
+        col = (np.arange(w) % 2) * 120 + 60
+        return np.repeat(np.broadcast_to(col, (h, w)).astype(np.uint8)[..., None],
+                         3, axis=-1)
+    if kind == "two_blobs":      # two mirror-identical cheap corridors
+        img = np.full((h, w, 3), 200, np.uint8)
+        img[:, w // 4] = 0
+        img[:, 3 * w // 4] = 0
+        return img
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize("tie", ["leftmost", "rightmost"])
+@pytest.mark.parametrize("kind", ["constant", "stripes", "two_blobs"])
+def test_forced_tie_all_paths_agree(tie, kind):
+    """Under forced exact ties, every path — oracle, scan, Pallas
+    (interpret), native C++ f32-chain — must pick the SAME seams at BOTH tie
+    settings: the S1/S2 spec choice is a covered parameter, not a fixed
+    guess."""
+    from dct_carver_tpu.utils.native import native_available, carve_native_f32
+
+    rng = np.random.default_rng(7)
+    h, w, n = 16, 48, 4
+    img = _tie_corpus(rng, h, w, kind)
+    luma = np.asarray(oracle.luma_bt709(img), np.float32)
+
+    _, ref_vmap, _ = oracle.carve_seams(img, n, 8, 0.3, 0.7, tie=tie)
+    scan = carve_n_seams(jnp.asarray(luma), n, 8, 0.3, 0.7,
+                         use_pallas=False, tie=tie)
+    np.testing.assert_array_equal(np.asarray(scan.vmap), ref_vmap,
+                                  err_msg=f"scan {tie} {kind}")
+    pal = carve_n_seams(jnp.asarray(luma), n, 8, 0.3, 0.7,
+                        use_pallas=True, tie=tie)
+    np.testing.assert_array_equal(np.asarray(pal.vmap), ref_vmap,
+                                  err_msg=f"pallas {tie} {kind}")
+    if native_available():
+        nat = carve_native_f32(luma, n, 8, 0.3, 0.7, tie=tie)
+        np.testing.assert_array_equal(nat, ref_vmap,
+                                      err_msg=f"native {tie} {kind}")
+
+
+@pytest.mark.parametrize("tie", ["leftmost", "rightmost"])
+def test_forced_tie_spatial_agrees(tie):
+    """The mesh-sharded path must apply the tie knob identically (incl. the
+    cross-shard global argmin and the segment walks)."""
+    import jax
+
+    from dct_carver_tpu.parallel.mesh import make_mesh
+    from dct_carver_tpu.parallel.spatial import spatial_carve_n_seams
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(axis_name="x")
+    rng = np.random.default_rng(11)
+    for kind in ("constant", "two_blobs"):
+        img = _tie_corpus(rng, 16, 64, kind)
+        luma = np.asarray(oracle.luma_bt709(img), np.float32)
+        n = 3
+        single = carve_n_seams(jnp.asarray(luma), n, 8, 0.3, 0.7,
+                               use_pallas=False, tie=tie)
+        sharded = spatial_carve_n_seams(luma, n, mesh=mesh, edges=0.3,
+                                        textures=0.7, tie=tie)
+        np.testing.assert_array_equal(
+            np.asarray(sharded.vmap), np.asarray(single.vmap),
+            err_msg=f"spatial {tie} {kind}")
+
+
+def test_tie_knob_changes_tied_seams():
+    """Sanity: on an all-ties image the two conventions pick different
+    seams (leftmost hugs column 0, rightmost the last live column) — the
+    knob is live, not decorative."""
+    img = _tie_corpus(None, 12, 32, "constant")
+    luma = np.asarray(oracle.luma_bt709(img), np.float32)
+    left = carve_n_seams(jnp.asarray(luma), 1, 8, 0.0, 1.0, tie="leftmost")
+    right = carve_n_seams(jnp.asarray(luma), 1, 8, 0.0, 1.0, tie="rightmost")
+    lcols = np.argwhere(np.asarray(left.vmap) == 1)[:, 1]
+    rcols = np.argwhere(np.asarray(right.vmap) == 1)[:, 1]
+    assert (lcols == 0).all(), lcols
+    assert (rcols == 31).all(), rcols
+
+
 @pytest.mark.parametrize("trial", range(4))
 def test_random_enlargement_parity(trial):
     """Random enlargement configs.
