@@ -198,10 +198,12 @@ def apply_supported(H: int, Wl: int) -> bool:
 
 
 def _apply_row_block(H: int, Wl: int) -> int:
-    # 7 in + 3 out (R, Wl)-ish f32 buffers, double-buffered by the pipeline:
-    # keep ~2x the block footprint under the 16 MB VMEM budget
-    for R in (64, 56, 48, 40, 32, 24, 16, 8):
-        if H % R == 0 and 7 * R * Wl * 4 <= 6 * 1024 * 1024:
+    # 3 big in + 3 big out (R, Wl) f32 buffers per block; outputs are
+    # aliased onto the inputs, so the pipeline's double-buffered footprint
+    # is ~2 * 6 * R * Wl * 4.  Taller blocks cut the per-grid-step overhead
+    # (the kernel is DMA-floor-bound otherwise).
+    for R in (128, 120, 96, 80, 72, 64, 56, 48, 40, 32, 24, 16, 8):
+        if H % R == 0 and 12 * R * Wl * 4 <= 15 * 1024 * 1024:
             return R
     return 8
 
@@ -279,6 +281,10 @@ def sharded_apply_rows(luma, oc, E, seam, edge, incoming, new_width, lo, *,
             _out_struct((H, Wl), jnp.int32, luma),
             _out_struct((H, Wl), jnp.float32, luma),
         ],
+        # in-place: each block's outputs overwrite its own already-consumed
+        # input block (compaction reads only within the block), halving the
+        # VMEM footprint and letting XLA drop the 3 fresh output allocations
+        input_output_aliases={4: 0, 5: 1, 6: 2},
         interpret=False,
     )(scal, seam[:, None], edge[:, None], incoming, luma, oc, E)
     return outs

@@ -57,7 +57,7 @@ from ..pallas.spatial_dp_kernel import (block_dp_rows, block_dp_supported,
                                         seg_walk_rows, seg_walk_supported,
                                         sharded_apply_rows, apply_supported)
 from ..ops.carve import (_bands_energy, _strip_bounds, _strip_block_dims,
-                         min_strip_width)
+                         min_strip_width, strip_row_block)
 from .mesh import make_mesh
 
 __all__ = ["spatial_carve_n_seams", "spatial_enlarge_n_seams",
@@ -65,8 +65,13 @@ __all__ = ["spatial_carve_n_seams", "spatial_enlarge_n_seams",
            "SpatialCarveResult", "SpatialCarveState",
            "collectives_per_seam"]
 
-FRONTIER_BLOCK = 32  # rows per DP/backtrack collective exchange (K)
-STRIP_ROWS = 8       # rows per strip-update block (R)
+# Rows per DP/backtrack collective exchange (K).  Round-5 sweep on the v5e
+# (scripts/profile_spatial.py, 8K): K=96 beats K=32 on-chip (dp+bt 2.29 vs
+# 2.61 ms/seam — fewer kernel launches + halo concats) AND cuts the
+# per-seam collective count 412 -> 142 (the 2-host scaling lever,
+# docs/SCALING.md).  Seams are identical for any K (trapezoid exactness).
+FRONTIER_BLOCK = 96
+STRIP_ROWS = 8       # min rows per strip-update block (see _spatial_strip_rows)
 
 
 def collectives_per_seam(H: int, K: int = FRONTIER_BLOCK,
@@ -77,12 +82,13 @@ def collectives_per_seam(H: int, K: int = FRONTIER_BLOCK,
     Blocked design: 2 ppermutes per K-row DP block, 1 psum per K-row
     backtrack segment + 2 pmin (global argmin), 2 ppermutes (strip halo),
     compaction + edge fill (3 ppermutes + 1 psum, or with the fused
-    Pallas apply 1 packed ppermute + 1 psum), 1 psum (vmap bookkeeping).
+    Pallas apply 1 packed ppermute — the edge fill is a collective-free
+    right-edge window pass), 1 psum (vmap bookkeeping).
     Per-row design (for comparison): 2 ppermutes per DP row + 1 psum per
     backtrack row."""
     nb = -(-H // K)
     if blocked:
-        apply = (1 + 1) if fused_apply else (3 + 1)
+        apply = 1 if fused_apply else (3 + 1)
         return 2 * nb + (nb + 2) + 2 + apply + 1
     return 3 * H
 
@@ -116,24 +122,35 @@ def _from_right(x, axis):
 def _halo_gather(x, n_left: int, n_right: int, axis):
     """(H', Wl) -> (H', n_left + Wl + n_right): append neighbor column halos.
 
-    Multi-hop when a halo is wider than one shard (tiny test shards);
-    positions beyond the mesh ends arrive as ZEROS — callers mask or clamp
-    them by global column index."""
+    Single-hop halos ship ONLY the edge columns (slicing commutes with
+    ppermute, so values are identical to permuting the full block — but the
+    message is n_halo/Wl of the size: at 8K/2-hosts the DP exchange drops
+    from ~1.5 MB to ~75 KB per block, the strip halo from ~60 MB to ~1 MB
+    per seam; ICI bytes per seam go from O(H*Wl) to O(H*halo)).  Multi-hop
+    (halo wider than one shard — tiny test shards) keeps the full-width
+    relay.  Positions beyond the mesh ends arrive as ZEROS — callers mask
+    or clamp them by global column index."""
     Wl = x.shape[1]
     parts = []
     if n_left:
-        hops, blocks, cur = -(-n_left // Wl), [], x
-        for _ in range(hops):
-            cur = _from_left(cur, axis)
-            blocks.append(cur)
-        parts.append(jnp.concatenate(blocks[::-1], axis=1)[:, -n_left:])
+        if n_left <= Wl:
+            parts.append(_from_left(x[:, Wl - n_left:], axis))
+        else:
+            hops, blocks, cur = -(-n_left // Wl), [], x
+            for _ in range(hops):
+                cur = _from_left(cur, axis)
+                blocks.append(cur)
+            parts.append(jnp.concatenate(blocks[::-1], axis=1)[:, -n_left:])
     parts.append(x)
     if n_right:
-        hops, blocks, cur = -(-n_right // Wl), [], x
-        for _ in range(hops):
-            cur = _from_right(cur, axis)
-            blocks.append(cur)
-        parts.append(jnp.concatenate(blocks, axis=1)[:, :n_right])
+        if n_right <= Wl:
+            parts.append(_from_right(x[:, :n_right], axis))
+        else:
+            hops, blocks, cur = -(-n_right // Wl), [], x
+            for _ in range(hops):
+                cur = _from_right(cur, axis)
+                blocks.append(cur)
+            parts.append(jnp.concatenate(blocks, axis=1)[:, :n_right])
     return jnp.concatenate(parts, axis=1)
 
 
@@ -376,7 +393,7 @@ def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
 # ------------------------------------------------------------ strip update --
 
 def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
-                          textures, W: int, axis, R: int = STRIP_ROWS,
+                          textures, W: int, axis, R: int | None = None,
                           delta_x: int = 1, energy_fn=None):
     """Per-seam sharded energy update: recompute only the strip around the
     removed seam.  Bitwise equal at every owned live column to the
@@ -385,6 +402,8 @@ def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
     `blocksize` must be the function's window size (energy_fn.n)."""
     H, Wl = luma_l.shape
     n = blocksize
+    if R is None:
+        R = _spatial_strip_rows(H, n, delta_x, W)
     r = n // 2
     idx = _axis_index(axis)
     lo = idx * Wl
@@ -423,16 +442,32 @@ def _sharded_strip_update(luma_l, E_shift, seam, blocksize: int, edges,
 
 
 def _spatial_strip_pallas_ok(H: int, Wl: int, n: int, delta_x: int,
-                             R: int = STRIP_ROWS) -> bool:
+                             R: int | None = None) -> bool:
     """Static gate for the Pallas sharded strip path (window kernels)."""
+    if R is None:
+        R = _spatial_strip_rows(H, n, delta_x)  # gate is W-agnostic; the
+        # updaters re-derive R with W and fall back to the XLA path on
+        # mismatch only for widths far below the spatial regime
     swb, gwb = _strip_block_dims(n, delta_x, R)
     return (H % R == 0 and Wl % 128 == 0 and Wl >= 256
             and gwb <= 128 and swb <= 128)
 
 
+def _spatial_strip_rows(H: int, n: int, delta_x: int,
+                        W: int | None = None) -> int:
+    """Rows per strip block — the same large-R selection as the
+    single-device path (ops.carve.strip_row_block): per-grid-step overhead,
+    not bandwidth, dominates the strip kernels, so fewer/taller blocks win
+    (540 -> 90 grid steps at 8K, R 8 -> 48).  Values are R-independent —
+    any R-row shared window writes the same bitwise energies (the block
+    window covers every row's true strip; all written values equal a full
+    recompute)."""
+    return strip_row_block(H, n, delta_x, W)
+
+
 def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
                                  edges, textures, W: int, axis,
-                                 R: int = STRIP_ROWS, delta_x: int = 1,
+                                 R: int | None = None, delta_x: int = 1,
                                  energy_fn=None):
     """Pallas-windowed variant of `_sharded_strip_update`: identical values
     at every owned live column (same halo, same slab values, same energy
@@ -447,6 +482,8 @@ def _sharded_strip_update_pallas(luma_l, E_shift, seam, blocksize: int,
 
     H, Wl = luma_l.shape
     n = blocksize
+    if R is None:
+        R = _spatial_strip_rows(H, n, delta_x, W)
     r = n // 2
     idx = _axis_index(axis)
     lo = idx * Wl
@@ -529,7 +566,8 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                        Wl: int, K: int, strip_update: bool, with_image: bool,
                        axis, unroll: bool = False, delta_x: int = 1,
                        rigidity: float = 0.0, use_pallas: bool = False,
-                       energy_fn=None, tie: str = "leftmost"):
+                       energy_fn=None, tie: str = "leftmost",
+                       dead_max: int | None = None):
     """One full sharded seam: DP -> backtrack -> vmap record -> compaction ->
     energy update.  `st` is the 6-tuple of per-shard state; `label` is the
     1-based seam number written into the visibility map.  `unroll=True`
@@ -562,25 +600,46 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
 
     width = width - 1
     if use_pallas and apply_supported(H, Wl):
-        # fused apply: ONE packed ppermute ships all three boundary columns,
-        # ONE psum broadcasts the two new-edge candidates, and the kernel
-        # compacts luma/origcol/energy + edge-fills in one pass per buffer
+        # fused apply: ONE packed ppermute ships all three boundary columns
+        # and the kernel compacts luma/origcol/energy in one pass per buffer
         # (bitwise == _sharded_remove + _sharded_edge_fill)
         incoming = _from_right(jnp.concatenate([
             luma_l[:, :1], E_l[:, :1],
             jax.lax.bitcast_convert_type(origcol_l[:, :1], jnp.float32),
         ], axis=1), axis)                              # (H, 3)
-        # edge = where(seam == new_width, pre[new_width-1], pre[new_width])
-        cand = []
-        for c in (width, width - 1):
-            lic = c - lo
-            ow = (lic >= 0) & (lic < Wl)
-            cand.append(jnp.where(
-                ow, jnp.take(luma_l, jnp.clip(lic, 0, Wl - 1), axis=1), 0.0))
-        v1, v2 = jax.lax.psum(jnp.stack(cand, axis=1), axis).T
-        edge = jnp.where(seam == width, v2, v1)
+        # The luma edge-fill value is the POST-compaction value of the new
+        # last live column (post[width-1] == where(seam == width,
+        # pre[width-1], pre[width]) — exactly the reference edge value), and
+        # the dead region spans at most `dead_max` right-edge columns.  When
+        # that window fits one shard (the common case), both the extraction
+        # and the fill run on a static (H, D) slice of the LAST shard with
+        # NO collectives and no full-buffer pass; otherwise fall back to the
+        # psum broadcast of the two pre-compaction candidates.
+        D = None
+        if dead_max is not None:
+            D = -(-(dead_max + 2) // 128) * 128
+            if D > Wl:
+                D = None
+        if D is None:
+            cand = []
+            for c in (width, width - 1):
+                lic = c - lo
+                ow = (lic >= 0) & (lic < Wl)
+                cand.append(jnp.where(
+                    ow, jnp.take(luma_l, jnp.clip(lic, 0, Wl - 1), axis=1),
+                    0.0))
+            v1, v2 = jax.lax.psum(jnp.stack(cand, axis=1), axis).T
+            edge = jnp.where(seam == width, v2, v1)
+        else:
+            edge = jnp.zeros((H,), jnp.float32)
         luma_l, origcol_l, E_shift = sharded_apply_rows(
             luma_l, origcol_l, E_l, seam, edge, incoming, width, lo)
+        if D is not None:
+            win = jax.lax.dynamic_slice(luma_l, (0, Wl - D), (H, D))
+            colw = lo + (Wl - D) + jnp.arange(D, dtype=jnp.int32)[None, :]
+            ev = jnp.sum(jnp.where(colw == width - 1, win, 0.0), axis=1)
+            win = jnp.where(colw >= width, ev[:, None], win)
+            luma_l = jax.lax.dynamic_update_slice(luma_l, win, (0, Wl - D))
     else:
         luma_l = _sharded_edge_fill(
             _sharded_remove(luma_l, seam, axis), width, axis
@@ -593,15 +652,16 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
         if E_shift is None:
             E_shift = _sharded_remove(E_l, seam, axis)
         n_eff = energy_fn.n if energy_fn is not None else blocksize
-        if use_pallas and _spatial_strip_pallas_ok(H, Wl, n_eff, delta_x):
+        R = _spatial_strip_rows(H, n_eff, delta_x, W)
+        if use_pallas and _spatial_strip_pallas_ok(H, Wl, n_eff, delta_x, R):
             E_l = _sharded_strip_update_pallas(
                 luma_l, E_shift, seam, n_eff, edges, textures, W,
-                axis, delta_x=delta_x, energy_fn=energy_fn,
+                axis, R=R, delta_x=delta_x, energy_fn=energy_fn,
             )
         else:
             E_l = _sharded_strip_update(
                 luma_l, E_shift, seam, n_eff, edges, textures, W,
-                axis, delta_x=delta_x, energy_fn=energy_fn,
+                axis, R=R, delta_x=delta_x, energy_fn=energy_fn,
             )
     else:
         E_l = _sharded_energy(luma_l, blocksize, edges, textures, W, axis,
@@ -647,7 +707,8 @@ def measure_collectives_per_seam(
         out = _spatial_seam_step(st, jnp.int32(1), blocksize, edges,
                                  textures, W, Wl, K, strip_update, False,
                                  axis, unroll=True, delta_x=delta_x,
-                                 rigidity=rigidity, use_pallas=use_pallas)
+                                 rigidity=rigidity, use_pallas=use_pallas,
+                                 dead_max=64)
         return out[0], out[2], out[3], out[4], out[5][None]
 
     f = jax.jit(shard_map(
@@ -873,12 +934,12 @@ def _spatial_init_jit(luma, image, blocksize, edges, textures, mesh, axis,
     jax.jit, static_argnames=("count", "blocksize", "mesh", "axis",
                               "frontier_block", "strip_update", "with_image",
                               "delta_x", "rigidity", "use_pallas",
-                              "energy_fn", "tie")
+                              "energy_fn", "tie", "dead_max")
 )
 def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                        mesh, axis, frontier_block, strip_update, with_image,
                        delta_x=1, rigidity=0.0, use_pallas=False,
-                       energy_fn=None, tie="leftmost"):
+                       energy_fn=None, tie="leftmost", dead_max=None):
     """Carve `count` seams starting at 1-based label seam_base+1."""
     H, W = state.luma.shape
     nsh = mesh.shape[axis]
@@ -891,7 +952,7 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
                 st, base + i + 1, blocksize, edges, textures, W, Wl, K,
                 strip_update, with_image, axis, delta_x=delta_x,
                 rigidity=rigidity, use_pallas=use_pallas,
-                energy_fn=energy_fn, tie=tie,
+                energy_fn=energy_fn, tie=tie, dead_max=dead_max,
             )
 
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
@@ -1029,7 +1090,8 @@ def spatial_carve_n_seams(
     energy_fn = resolve_energy(energy)
     n_eff = energy_fn.n if energy_fn is not None else blocksize
     W = luma.shape[1]
-    if W < min_strip_width(n_eff, delta_x, STRIP_ROWS):
+    if W < min_strip_width(n_eff, delta_x,
+                           strip_row_block(luma.shape[0], n_eff, delta_x, W)):
         strip_update = False
     with_image = image is not None
 
@@ -1080,6 +1142,10 @@ def spatial_carve_n_seams(
         progress.init(_t("Resizing width..."))
         if done:
             progress.update(done / n_seams)
+    # static bound on the dead-region width over the WHOLE carve (initial
+    # divisibility padding + every seam) — lets the fused apply run its
+    # collective-free right-edge fill (see _spatial_seam_step)
+    dead_max = (state.luma.shape[1] - W) + n_seams
     step = chunk if chunk > 0 else n_seams
     while done < n_seams:
         count = min(step, n_seams - done)
@@ -1087,6 +1153,7 @@ def spatial_carve_n_seams(
             state, jnp.int32(done), count, blocksize, edges, textures,
             mesh, axis, frontier_block, strip_update, with_image,
             delta_x, rigidity, bool(use_pallas), energy_fn, tie,
+            dead_max,
         )
         state = jax.block_until_ready(state)
         done += count

@@ -33,12 +33,11 @@ def main():
         sharded_apply_rows, apply_supported)
 
     enable_compilation_cache()
-    args = [int(a) for a in sys.argv[1:4]]
-    H, W, N = (args + [4320, 7680, 32])[:3] if args else (4320, 7680, 32)
+    args = [int(a) for a in sys.argv[1:5]]
+    H, W, N, K = (args + [4320, 7680, 32, sp.FRONTIER_BLOCK][len(args):])[:4]
     mesh = make_mesh(axis_name="x")
     nsh = mesh.shape["x"]
     Wl = W // nsh
-    K = sp.FRONTIER_BLOCK
     print(f"# {H}x{W}, {nsh} shard(s), K={K}, N={N}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
@@ -145,6 +144,42 @@ def main():
                 luma_l[:, :1], E_l[:, :1],
                 jax.lax.bitcast_convert_type(oc_l[:, :1], jnp.float32),
             ], axis=1), axis)
+            col_l = jnp.arange(Wl, dtype=jnp.int32)[None, :]
+            cand = []
+            for c in (width, width - 1):
+                lic = c - lo
+                cand.append(jnp.sum(
+                    jnp.where(col_l == lic, luma_l, 0.0), axis=1))
+            v1, v2 = jax.lax.psum(jnp.stack(cand, axis=1), axis).T
+            edge = jnp.where(seam == width, v2, v1)
+            luma_l, oc_l, E_shift = sharded_apply_rows(
+                luma_l, oc_l, E_l, seam, edge, incoming, width, lo)
+            return (luma_l, img_l, oc_l, vm_l, E_shift, width)
+        return b
+
+    def body_apply_kernel(axis):
+        # kernel only: seam/edge/incoming are cheap fabrications — isolates
+        # the 7-buffer blocked DMA from the XLA glue (takes/psum/ppermute)
+        def b(i, st):
+            luma_l, img_l, oc_l, vm_l, E_l, width = st
+            idx = jax.lax.axis_index(axis)
+            lo = idx * Wl
+            seam = fake_seam(i, width)
+            width = width - 1
+            incoming = jnp.zeros((H, 3), jnp.float32)
+            edge = jnp.full((H,), 0.5, jnp.float32) + E_l[0, 0] * 1e-30
+            luma_l, oc_l, E_shift = sharded_apply_rows(
+                luma_l, oc_l, E_l, seam, edge, incoming, width, lo)
+            return (luma_l, img_l, oc_l, vm_l, E_shift, width)
+        return b
+
+    def body_edge_extract(axis):
+        # just the two dynamic column takes + psum the real apply glue does
+        def b(i, st):
+            luma_l, img_l, oc_l, vm_l, E_l, width = st
+            idx = jax.lax.axis_index(axis)
+            lo = idx * Wl
+            width = width - 1
             cand = []
             for c in (width, width - 1):
                 lic = c - lo
@@ -153,10 +188,8 @@ def main():
                     ow, jnp.take(luma_l, jnp.clip(lic, 0, Wl - 1), axis=1),
                     0.0))
             v1, v2 = jax.lax.psum(jnp.stack(cand, axis=1), axis).T
-            edge = jnp.where(seam == width, v2, v1)
-            luma_l, oc_l, E_shift = sharded_apply_rows(
-                luma_l, oc_l, E_l, seam, edge, incoming, width, lo)
-            return (luma_l, img_l, oc_l, vm_l, E_shift, width)
+            E_l = E_l.at[0, 0].add(v1[0] * 1e-30 + v2[0] * 1e-30)
+            return (luma_l, img_l, oc_l, vm_l, E_l, width)
         return b
 
     def body_strip(axis):
@@ -188,10 +221,15 @@ def main():
                     E_l.at[0, 0].add(1e-30), width)
         return b
 
-    for name, bf in [("full", body_full), ("dp", body_dp),
-                     ("dp+bt", body_dp_bt), ("record", body_record),
-                     ("apply", body_apply), ("strip", body_strip),
-                     ("carry5", body_carry), ("noop", body_noop)]:
+    stages = [("full", body_full), ("dp", body_dp),
+              ("dp+bt", body_dp_bt), ("record", body_record),
+              ("apply", body_apply), ("applyK", body_apply_kernel),
+              ("edgex", body_edge_extract), ("strip", body_strip),
+              ("carry5", body_carry), ("noop", body_noop)]
+    only = [s for s in sys.argv[5:]]
+    if only:
+        stages = [s for s in stages if s[0] in only]
+    for name, bf in stages:
         try:
             ms = per_iter_ms(bf)
             print(f"{name:8s} {ms:7.3f} ms/seam", flush=True)
