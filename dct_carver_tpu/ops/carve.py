@@ -103,8 +103,11 @@ def strip_row_block(H: int, blocksize: int, delta_x: int = 1,
     window (the seam drifts <= delta_x cols/row, so the window widens by
     delta_x*(R-1)).  Pick the largest R that divides H (the Pallas scatter
     writes (R, .) blocks) while the tap window still fits the 128-lane
-    validity bound of the gathered slab and the strip fits the image width."""
-    for R in (64, 56, 48, 40, 32, 24, 16, 8):
+    validity bound of the gathered slab and the strip fits the image width.
+    (The big strip buffers ride pl.ANY + manual window DMA in the kernels,
+    so tall R costs no VMEM; the gwb <= 128 gate below bounds R per
+    blocksize.)"""
+    for R in (120, 108, 96, 90, 80, 72, 64, 56, 48, 40, 32, 24, 16, 8):
         if (H % R == 0
                 and _strip_block_dims(blocksize, delta_x, R)[1] <= 128
                 and (W is None or min_strip_width(blocksize, delta_x, R) <= W)):

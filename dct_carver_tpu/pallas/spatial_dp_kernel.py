@@ -210,7 +210,7 @@ def _apply_row_block(H: int, Wl: int) -> int:
 
 def _make_sharded_apply_kernel(Wl: int):
     def kernel(scal_ref, seam_ref, edge_ref, inc_ref, luma_ref, oc_ref,
-               e_ref, luma_out, oc_out, e_out):
+               e_ref, luma_out, oc_out, e_out, orig_out):
         new_width = scal_ref[0]
         lo = scal_ref[1]
         R = luma_ref.shape[0]
@@ -229,6 +229,11 @@ def _make_sharded_apply_kernel(Wl: int):
         luma_out[:, :] = jnp.where(col_g >= new_width, edge_ref[:, :], luma)
         e_out[:, :] = compact(e_ref[:, :], inc_ref[:, 1:2])
         oc_i = oc_ref[:, :]
+        # side output: the removed pixel's ORIGINAL column (vmap record) —
+        # the pre-compaction oc block is already in VMEM, so the one-hot
+        # reduction is free vs the separate full-buffer pass it replaces
+        orig_out[:, :] = jnp.sum(
+            jnp.where(col_g == seam_blk, oc_i, 0), axis=1, keepdims=True)
         inc_oc = pltpu.bitcast(inc_ref[:, 2:3], jnp.int32)
         sh = pltpu.roll(oc_i, Wl - 1, axis=1)
         sh = jnp.where(last, inc_oc, sh)
@@ -247,7 +252,11 @@ def sharded_apply_rows(luma, oc, E, seam, edge, incoming, new_width, lo, *,
     edge (H,) f32 new-edge fill value, incoming (H, 3) f32 the right
     neighbor's first column of [luma, E, bitcast(origcol)], new_width () i32
     (logical width AFTER removal), lo () i32 this shard's first global
-    column.  Bitwise identical to _sharded_remove + _sharded_edge_fill."""
+    column.  Bitwise identical to _sharded_remove + _sharded_edge_fill.
+
+    Returns (luma', oc', E_shift, orig_partial) — orig_partial (H, 1) i32 is
+    the per-shard one-hot partial of the removed pixel's ORIGINAL column
+    (psum it over the axis for the vmap record)."""
     H, Wl = luma.shape
     if interpret is None:
         interpret = _interpret_default()
@@ -275,11 +284,13 @@ def sharded_apply_rows(luma, oc, E, seam, edge, incoming, new_width, lo, *,
             pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, Wl), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), blk, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             _out_struct((H, Wl), jnp.float32, luma),
             _out_struct((H, Wl), jnp.int32, luma),
             _out_struct((H, Wl), jnp.float32, luma),
+            _out_struct((H, 1), jnp.int32, luma),
         ],
         # in-place: each block's outputs overwrite its own already-consumed
         # input block (compaction reads only within the block), halving the
@@ -311,4 +322,6 @@ def _plain_sharded_apply(luma, oc, E, seam, edge, incoming, new_width, lo):
     sh = jnp.roll(oc, -1, axis=1)
     sh = jnp.where(last, inc_oc, sh)
     oc_o = jnp.where(keep, oc, sh)
-    return luma_o, oc_o, e_o
+    orig_p = jnp.sum(jnp.where(col_g == seam[:, None], oc, 0), axis=1,
+                     keepdims=True)
+    return luma_o, oc_o, e_o, orig_p

@@ -567,7 +567,8 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                        axis, unroll: bool = False, delta_x: int = 1,
                        rigidity: float = 0.0, use_pallas: bool = False,
                        energy_fn=None, tie: str = "leftmost",
-                       dead_max: int | None = None):
+                       dead_max: int | None = None,
+                       defer_record: bool = False):
     """One full sharded seam: DP -> backtrack -> vmap record -> compaction ->
     energy update.  `st` is the 6-tuple of per-shard state; `label` is the
     1-based seam number written into the visibility map.  `unroll=True`
@@ -586,20 +587,20 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
                               delta_x=delta_x, rigidity=rigidity,
                               use_pallas=use_pallas, tie=tie)  # (H,)
 
-    # record the seam at original coordinates — one-hot masked passes (the
-    # row-indexed gather + scatter lower to slow general forms, ~0.9 ms at
-    # 8K vs ~0.3 for the masks; identical values, see ops/carve.py)
-    li = seam - lo
     col_l = jnp.arange(Wl, dtype=jnp.int32)[None, :]
-    hit = col_l == li[:, None]       # matches only on the owner shard
-    orig = jax.lax.psum(
-        jnp.sum(jnp.where(hit, origcol_l, 0), axis=1), axis
-    )                                # global original column (H,)
-    # write into the vmap shard that owns each original column
-    vmap_l = jnp.where(col_l == (orig - lo)[:, None], label, vmap_l)
+    fused = use_pallas and apply_supported(H, Wl)
+    if not fused:
+        # removed pixel's ORIGINAL column — one-hot masked pass (the
+        # row-indexed gather lowers to a slow general form; identical
+        # values, see ops/carve.py).  The fused path gets this for free as
+        # an apply-kernel side output (the oc block is already in VMEM).
+        hit = col_l == (seam - lo)[:, None]  # matches only on owner shard
+        orig = jax.lax.psum(
+            jnp.sum(jnp.where(hit, origcol_l, 0), axis=1), axis
+        )                                # global original column (H,)
 
     width = width - 1
-    if use_pallas and apply_supported(H, Wl):
+    if fused:
         # fused apply: ONE packed ppermute ships all three boundary columns
         # and the kernel compacts luma/origcol/energy in one pass per buffer
         # (bitwise == _sharded_remove + _sharded_edge_fill)
@@ -632,8 +633,9 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
             edge = jnp.where(seam == width, v2, v1)
         else:
             edge = jnp.zeros((H,), jnp.float32)
-        luma_l, origcol_l, E_shift = sharded_apply_rows(
+        luma_l, origcol_l, E_shift, orig_p = sharded_apply_rows(
             luma_l, origcol_l, E_l, seam, edge, incoming, width, lo)
+        orig = jax.lax.psum(orig_p[:, 0], axis)
         if D is not None:
             win = jax.lax.dynamic_slice(luma_l, (0, Wl - D), (H, D))
             colw = lo + (Wl - D) + jnp.arange(D, dtype=jnp.int32)[None, :]
@@ -666,7 +668,10 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
     else:
         E_l = _sharded_energy(luma_l, blocksize, edges, textures, W, axis,
                               energy_fn)
-    return (luma_l, img_l, origcol_l, vmap_l, E_l, width)
+    if not defer_record:
+        # write into the vmap shard that owns each original column
+        vmap_l = jnp.where(col_l == (orig - lo)[:, None], label, vmap_l)
+    return (luma_l, img_l, origcol_l, vmap_l, E_l, width), orig
 
 
 def measure_collectives_per_seam(
@@ -704,11 +709,11 @@ def measure_collectives_per_seam(
     def shard_fn(luma_l, origcol_l, vmap_l, E_l, width0):
         img_l = jnp.zeros((1, 1), jnp.float32)
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
-        out = _spatial_seam_step(st, jnp.int32(1), blocksize, edges,
-                                 textures, W, Wl, K, strip_update, False,
-                                 axis, unroll=True, delta_x=delta_x,
-                                 rigidity=rigidity, use_pallas=use_pallas,
-                                 dead_max=64)
+        out, _ = _spatial_seam_step(st, jnp.int32(1), blocksize, edges,
+                                    textures, W, Wl, K, strip_update, False,
+                                    axis, unroll=True, delta_x=delta_x,
+                                    rigidity=rigidity, use_pallas=use_pallas,
+                                    dead_max=64)
         return out[0], out[2], out[3], out[4], out[5][None]
 
     f = jax.jit(shard_map(
@@ -947,17 +952,37 @@ def _spatial_chunk_jit(state, seam_base, count, blocksize, edges, textures,
     K = max(1, min(frontier_block, H))
 
     def shard_fn(luma_l, img_l, origcol_l, vmap_l, E_l, width0, base):
-        def body(i, st):
-            return _spatial_seam_step(
+        lo = _axis_index(axis) * Wl
+
+        def body(i, carry):
+            st, recs = carry
+            st, orig = _spatial_seam_step(
                 st, base + i + 1, blocksize, edges, textures, W, Wl, K,
                 strip_update, with_image, axis, delta_x=delta_x,
                 rigidity=rigidity, use_pallas=use_pallas,
                 energy_fn=energy_fn, tie=tie, dead_max=dead_max,
+                defer_record=True,
             )
+            return st, jax.lax.dynamic_update_index_in_dim(recs, orig, i, 0)
 
         st = (luma_l, img_l, origcol_l, vmap_l, E_l, width0[0])
-        st = jax.lax.fori_loop(0, count, body, st)
-        return st[:5] + (st[5][None],)
+        recs0 = _pvary(jnp.zeros((count, H), jnp.int32), axis)
+        st, recs = jax.lax.fori_loop(0, count, body, (st, recs0))
+        # vmap records land in ONE scatter per chunk instead of a
+        # full-buffer masked write per seam (~0.4 ms/seam at 8K): each
+        # removed pixel's original column is unique, so the unordered
+        # scatter is exact; out-of-shard columns drop
+        luma_l, img_l, origcol_l, vmap_l, E_l, width = st
+        rows = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :],
+                                (count, H))
+        labels = base + 1 + jnp.arange(count, dtype=jnp.int32)[:, None]
+        cols = recs - lo
+        # negative indices WRAP in jax scatters (only >= Wl drops); send
+        # out-of-shard columns to the high OOB sentinel instead
+        cols = jnp.where((cols >= 0) & (cols < Wl), cols, Wl)
+        vmap_l = vmap_l.at[rows, cols].set(
+            jnp.broadcast_to(labels, (count, H)), mode="drop")
+        return (luma_l, img_l, origcol_l, vmap_l, E_l, width[None])
 
     spec = P(None, axis)
     img_spec = (P(None, axis, None)

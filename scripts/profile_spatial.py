@@ -95,9 +95,10 @@ def main():
     # ---- stage bodies (each returns a new st with a data dep) ----
     def body_full(axis):
         def b(i, st):
-            return sp._spatial_seam_step(
+            st2, _ = sp._spatial_seam_step(
                 st, i + 1, 8, 0.0, 1.0, W, Wl, K, True, False, axis,
-                use_pallas=True)
+                use_pallas=True, dead_max=128)
+            return st2
         return b
 
     def body_dp(axis):
@@ -152,7 +153,7 @@ def main():
                     jnp.where(col_l == lic, luma_l, 0.0), axis=1))
             v1, v2 = jax.lax.psum(jnp.stack(cand, axis=1), axis).T
             edge = jnp.where(seam == width, v2, v1)
-            luma_l, oc_l, E_shift = sharded_apply_rows(
+            luma_l, oc_l, E_shift, _ = sharded_apply_rows(
                 luma_l, oc_l, E_l, seam, edge, incoming, width, lo)
             return (luma_l, img_l, oc_l, vm_l, E_shift, width)
         return b
@@ -168,7 +169,7 @@ def main():
             width = width - 1
             incoming = jnp.zeros((H, 3), jnp.float32)
             edge = jnp.full((H,), 0.5, jnp.float32) + E_l[0, 0] * 1e-30
-            luma_l, oc_l, E_shift = sharded_apply_rows(
+            luma_l, oc_l, E_shift, _ = sharded_apply_rows(
                 luma_l, oc_l, E_l, seam, edge, incoming, width, lo)
             return (luma_l, img_l, oc_l, vm_l, E_shift, width)
         return b
