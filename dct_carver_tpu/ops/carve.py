@@ -107,7 +107,9 @@ def strip_row_block(H: int, blocksize: int, delta_x: int = 1,
     (The big strip buffers ride pl.ANY + manual window DMA in the kernels,
     so tall R costs no VMEM; the gwb <= 128 gate below bounds R per
     blocksize.)"""
-    for R in (120, 108, 96, 90, 80, 72, 64, 56, 48, 40, 32, 24, 16, 8):
+    # candidates must be multiples of 8: the strip-energy kernel's output
+    # block is (R, cwin) and Mosaic requires sublane divisibility
+    for R in (120, 112, 104, 96, 88, 80, 72, 64, 56, 48, 40, 32, 24, 16, 8):
         if (H % R == 0
                 and _strip_block_dims(blocksize, delta_x, R)[1] <= 128
                 and (W is None or min_strip_width(blocksize, delta_x, R) <= W)):
