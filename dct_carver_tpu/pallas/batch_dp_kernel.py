@@ -123,7 +123,12 @@ def find_seams_vec(E: jax.Array, width: jax.Array, lo: jax.Array, *,
     B, H, W = E.shape
     if interpret is None:
         interpret = _interpret_default()
-    R = ROW_BLOCK
+    # taller blocks cut the serial grid-step count (the forward is a
+    # latency-bound chain; per-step scheduling overhead is pure loss);
+    # bounded so eblk + in/out blocks stay inside VMEM double-buffered
+    R = next((r for r in (32, 24, 16, 8)
+              if H % r == 0 and r * B * (W + 128) * 4 * 3 <= 10 * 1024 * 1024),
+             ROW_BLOCK)
     nb = H // R
     E_t = E.transpose(1, 0, 2).reshape(H * B, W)
     wl = jnp.stack([
