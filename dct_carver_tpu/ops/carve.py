@@ -204,14 +204,21 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
     (see `strip_pallas_ok`).
     """
     from ..pallas.strip_kernel import (gather_slabs, scatter_strips,
-                                       strip_energy_pallas)
+                                       strip_energy_pallas,
+                                       packed_strip_row_block,
+                                       strip_update_packed)
 
     H, W = state.luma.shape
     n = blocksize
     r = n // 2
-    R = strip_row_block(H, n, delta_x, W)
     E_shift = remove_seam(state.energy, seam) if e_shift is None else e_shift
     start, _ = _strip_bounds(seam, n, W, delta_x)
+
+    # packed-pair pipeline when the tap window fits a 64-lane slot: two
+    # blocks per 128-lane chain row -> half the chain rows (the strip's
+    # dominant cost at batch scale); bitwise equal to the unpacked path
+    Rp = packed_strip_row_block(H, n, delta_x) if energy_fn is None else None
+    R = Rp if Rp is not None else strip_row_block(H, n, delta_x, W)
     nb = H // R
     swb, gwb = _strip_block_dims(n, delta_x, R)
     bs = jnp.clip(jnp.min(start.reshape(nb, R), axis=1),
@@ -225,6 +232,10 @@ def _recompute_strip_pallas(state: CarveState, seam: jax.Array, blocksize: int,
     pad_bot = slab_rows - R - (r - 1)
     lp = jnp.pad(state.luma, ((r - 1, pad_bot), (r - 1, Wl - W - (r - 1))),
                  mode="edge")
+
+    if Rp is not None:
+        return strip_update_packed(lp, E_shift, bs, n, edges, textures,
+                                   swb, slab_rows, R)
 
     slab256 = gather_slabs(lp, bs, slab_rows, row_block=R)  # (nb, slab_rows, 256)
     if energy_fn is None and jax.default_backend() == "tpu":

@@ -457,3 +457,361 @@ def strip_energy_pallas(slabs, n: int, edges, textures, R: int,
         slabs, jnp.asarray(edges, jnp.float32),
         jnp.asarray(textures, jnp.float32),
     )
+
+
+# ------------------------------------------------- paired (packed) strip ----
+#
+# When the tap window gwb fits 64 lanes, TWO blocks pack into one 128-lane
+# energy row: slot 0 in lanes [0, 64), slot 1 in lanes [64, 128).  The chain
+# kernel is unchanged — its lane rolls wrap into the other slot only beyond
+# each slot's swb valid outputs, exactly like the unpacked tail garbage —
+# and runs on HALF the rows.  The strip energy is chain-compute-bound at
+# batch scale (the VPU computes all 128 lanes regardless of swb), so packing
+# halves its cost.  Values stay bitwise identical: the same tap values reach
+# the same chains, just in different lanes (asserted vs the unpacked path in
+# tests/test_strip_kernel.py).
+
+SLOT = 64
+
+
+def packed_strip_row_block(H: int, blocksize: int,
+                           delta_x: int = 1) -> int | None:
+    """Largest row block whose tap window fits one 64-lane slot (None if
+    even R=8 does not fit — e.g. blocksize 16 with delta_x >= 2)."""
+    from ..ops.carve import _strip_block_dims
+
+    for R in (32, 24, 16, 8):
+        if H % R == 0 and _strip_block_dims(blocksize, delta_x, R)[1] <= SLOT:
+            return R
+    return None
+
+
+def _pair_group(n_pairs: int) -> int:
+    """Pairs per grid step: the strip kernels are per-grid-step-overhead
+    bound (~1.5-2.5 us/step measured on the v5e), so fewer, fatter steps
+    with all the group's DMAs in flight together win; bounded by VMEM."""
+    for G in (8, 4, 2):
+        if n_pairs % G == 0:
+            return G
+    return 1
+
+
+def _make_gather2_kernel(slab_rows: int, row_block: int,
+                         blocks_per_image: int, stride: int, n_blocks: int,
+                         G: int):
+    def kernel(bs_ref, lp_ref, out_ref, slab, sem):
+        """Grid step g gathers pairs [gG, gG+G): one window DMA per block
+        (2G in flight, double-buffered across steps) and merges each pair's
+        rotated first 64 lanes into one (slab_rows, 128) output row.  An
+        odd tail repeats the last block; its slot-1 copy is never read back
+        (the scatter grid runs over blocks, not pairs)."""
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        Wl = lp_ref.shape[1]
+        B2 = 2 * G
+
+        def dma(i, slot):
+            i = jnp.minimum(i, n_blocks - 1)
+            bsi = bs_ref[i]
+            astart = jnp.minimum((bsi // LANE) * LANE, Wl - WIN)
+            astart = pl.multiple_of(astart, LANE)
+            row = (i // blocks_per_image) * stride \
+                + (i % blocks_per_image) * row_block
+            return pltpu.make_async_copy(
+                lp_ref.at[pl.ds(row, slab_rows), pl.ds(astart, WIN)],
+                slab.at[slot], sem.at[slot],
+            )
+
+        @pl.when(g == 0)
+        def _():
+            for k in range(B2):
+                dma(k, k).start()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            nph = B2 * jax.lax.rem(g + 1, 2)
+            for k in range(B2):
+                dma((g + 1) * B2 + k, nph + k).start()
+
+        def rem_of(i):
+            i = jnp.minimum(i, n_blocks - 1)
+            bsi = bs_ref[i]
+            astart = jnp.minimum((bsi // LANE) * LANE, Wl - WIN)
+            return bsi - astart
+
+        ph = B2 * jax.lax.rem(g, 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        rows = []
+        for k in range(G):
+            i0 = g * B2 + 2 * k
+            dma(i0, ph + 2 * k).wait()
+            dma(i0 + 1, ph + 2 * k + 1).wait()
+            a = _rotl(slab[ph + 2 * k], rem_of(i0))[:, :LANE]
+            b = _rotl(slab[ph + 2 * k + 1], rem_of(i0 + 1))[:, :LANE]
+            rows.append(jnp.where(lane < SLOT, a,
+                                  pltpu.roll(b, SLOT, axis=1)))
+        out_ref[:, :] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def _gather2_slabs_call(lp2, bs1, slab_rows, row_block, blocks_per_image,
+                        stride, interpret=None):
+    """Paired gather: (n_pairs * slab_rows, LANE) packed slabs."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n_blocks = bs1.shape[0]
+    n_pairs = -(-n_blocks // 2)
+    G = _pair_group(n_pairs)
+    return pl.pallas_call(
+        _make_gather2_kernel(slab_rows, row_block, blocks_per_image, stride,
+                             n_blocks, G),
+        grid=(n_pairs // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((G * slab_rows, LANE), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((n_pairs * slab_rows, LANE), jnp.float32, lp2),
+        scratch_shapes=[
+            pltpu.VMEM((4 * G, slab_rows, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((4 * G,)),
+        ],
+        interpret=interpret,
+    )(bs1, lp2)
+
+
+def _make_scatter2_kernel(swb: int, R: int, n_blocks: int, G: int):
+    def kernel(bs_ref, strip_ref, e_in, e_out, win, sem_in, sem_out):
+        """Grid step g read-modify-writes the 2G windows of blocks
+        [2gG, 2gG+2G); block b's strip lanes live in slot b%2 of the packed
+        (R, 128) strip row b//2.  Step order: wait step g-1's write-backs ->
+        prefetch step g+1's reads -> per block: wait read, modify, start
+        write-back.  Blocks touch disjoint rows, so DMAs never overlap."""
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        W = e_out.shape[1]
+        B2 = 2 * G
+
+        def win_dma(i, slot, outgoing):
+            # an odd tail's dummy index clamps to the last real block: its
+            # RMW re-writes that block's window with the identical values
+            # (the gather duplicated the same slab into the dummy slot)
+            i = jnp.minimum(i, n_blocks - 1)
+            bsi = bs_ref[i]
+            wstart = jnp.clip((bsi // LANE) * LANE, 0, W - WIN)
+            wstart = pl.multiple_of(wstart, LANE)
+            ew = e_out.at[pl.ds(i * R, R), pl.ds(wstart, WIN)]
+            if outgoing:
+                return pltpu.make_async_copy(win.at[slot], ew,
+                                             sem_out.at[slot])
+            return pltpu.make_async_copy(ew, win.at[slot], sem_in.at[slot])
+
+        @pl.when(g == 0)
+        def _():
+            for k in range(B2):
+                win_dma(k, k, False).start()
+
+        @pl.when(g >= 1)
+        def _():
+            pph = B2 * jax.lax.rem(g - 1, 2)
+            for k in range(B2):
+                win_dma((g - 1) * B2 + k, pph + k, True).wait()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            nph = B2 * jax.lax.rem(g + 1, 2)
+            for k in range(B2):
+                win_dma((g + 1) * B2 + k, nph + k, False).start()
+
+        ph = B2 * jax.lax.rem(g, 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+        for k in range(B2):
+            b = g * B2 + k
+            win_dma(b, ph + k, False).wait()
+            bs = bs_ref[jnp.minimum(b, n_blocks - 1)]
+            wstart = jnp.clip((bs // LANE) * LANE, 0, W - WIN)
+            srem = bs - wstart
+            s128 = strip_ref[pl.ds((k // 2) * R, R), :]  # (R, 128) pair row
+            if k % 2 == 1:
+                s128 = pltpu.roll(s128, LANE - SLOT, axis=1)
+            wide = jnp.concatenate(
+                [s128, jnp.zeros((R, WIN - LANE), jnp.float32)], axis=1)
+            rot = _rotl(wide, jnp.mod(WIN - srem, WIN))
+            in_strip = (lane >= srem) & (lane < srem + swb)
+            win[ph + k] = jnp.where(in_strip, rot, win[ph + k])
+            win_dma(b, ph + k, True).start()
+
+        @pl.when(g == ng - 1)
+        def _():
+            for k in range(B2):
+                win_dma(g * B2 + k, ph + k, True).wait()
+
+    return kernel
+
+
+def _scatter2_strips_call(E2, strips2, bs1, swb, row_block, interpret=None):
+    """Paired scatter: strips2 (n_pairs * row_block, LANE) packed strips.
+    Requires an even block count (callers pad bs/strips by one dummy block
+    whose window writes duplicate the last real block's values)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n_blocks = bs1.shape[0]
+    n_pairs = -(-n_blocks // 2)
+    G = _pair_group(n_pairs)
+    return pl.pallas_call(
+        _make_scatter2_kernel(swb, row_block, n_blocks, G),
+        grid=(n_pairs // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((G * row_block, LANE), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=_out_struct(E2.shape, jnp.float32, E2),
+        input_output_aliases={2: 0},
+        scratch_shapes=[
+            pltpu.VMEM((4 * G, row_block, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((4 * G,)),
+            pltpu.SemaphoreType.DMA((4 * G,)),
+        ],
+        interpret=interpret,
+    )(bs1, strips2, E2)
+
+
+def _strip_energy2_call(slabs2, n, edges, textures, R, slab_rows,
+                        interpret=None):
+    """Chain energy on PACKED (n_pairs * slab_rows, LANE) slabs ->
+    (n_pairs * R, LANE); valid lanes [0, swb) and [SLOT, SLOT + swb)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n_pairs = slabs2.shape[0] // slab_rows
+    G = _pair_group(n_pairs)
+    fscal = jnp.stack([
+        jnp.asarray(edges, jnp.float32),
+        jnp.asarray(textures, jnp.float32),
+    ])
+    return pl.pallas_call(
+        _make_strip_energy2_kernel(n, R, slab_rows, G),
+        grid=(n_pairs // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((G * slab_rows, LANE), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G * R, LANE), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((n_pairs * R, LANE), jnp.float32, slabs2),
+        interpret=interpret,
+    )(fscal, slabs2)
+
+
+def _make_strip_energy2_kernel(n: int, R: int, slab_rows: int, G: int):
+    import numpy as np
+    from .energy_kernel import _energy_chain_ops
+    from ..ops.dct import _dct_matrix_np
+
+    D = np.asarray(_dct_matrix_np(n), np.float32)
+
+    def kernel(fscal_ref, slab_ref, out_ref):
+        for k in range(G):   # static sub-blocks per grid step
+            base = k * slab_rows
+            out_ref[pl.ds(k * R, R), :] = _energy_chain_ops(
+                D, n, R, LANE,
+                lambda dy: slab_ref[pl.ds(base + dy, R), :],
+                fscal_ref[0], fscal_ref[1],
+            )
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "swb", "slab_rows", "row_block",
+                                    "interpret"))
+def _strip_packed_batched(lp, E_shift, bs, n, edges, textures, swb,
+                          slab_rows, row_block, interpret=None):
+    """Flattened batch form of the packed strip pipeline: lp (B, Hp, Wl),
+    E_shift (B, H, W), bs (B, nb) -> updated energy (B, H, W).
+
+    On TPU the chains run in the packed Pallas kernel (bitwise equal to the
+    unpacked kernel and the XLA chains); interpreted backends keep the XLA
+    `energy_from_bands` on slot-extracted windows, so the packed path stays
+    CPU-testable bitwise against the unpacked one."""
+    from ..ops.carve import _bands_energy
+
+    B, Hp, Wl = lp.shape
+    _, H, W = E_shift.shape
+    nb = int(bs.shape[1])
+    R = row_block
+    gwb = swb + n - 1
+    if interpret is None:
+        interpret = _interpret_default()
+    flat_bs = bs.astype(jnp.int32).reshape(B * nb)
+    slabs = _gather2_slabs_call(lp.reshape(B * Hp, Wl), flat_bs, slab_rows,
+                                R, nb, Hp, interpret)
+    n_pairs = slabs.shape[0] // slab_rows
+    if not interpret:
+        strips = _strip_energy2_call(slabs, n, edges, textures, R,
+                                     slab_rows, interpret)
+    else:
+        # slot-extract and run the XLA chains (bitwise == unpacked CPU path)
+        sl = slabs.reshape(n_pairs, slab_rows, LANE)
+        wins = jnp.concatenate([sl[:, :, :gwb], sl[:, :, SLOT:SLOT + gwb]],
+                               axis=0)              # (2*n_pairs, rows, gwb)
+        bands = jnp.stack([wins[:, rr:rr + n, :] for rr in range(R)], axis=1)
+        e = _bands_energy(bands.reshape(2 * n_pairs * R, n, gwb), n, edges,
+                          textures, None).astype(jnp.float32)
+        e = e.reshape(2, n_pairs, R, swb)
+        strips = jnp.concatenate(
+            [jnp.pad(e[0], ((0, 0), (0, 0), (0, SLOT - swb))),
+             jnp.pad(e[1], ((0, 0), (0, 0), (0, SLOT - swb)))], axis=2
+        ).reshape(n_pairs * R, LANE)
+    out = _scatter2_strips_call(E_shift.reshape(B * H, W), strips, flat_bs,
+                                swb, R, interpret)
+    return out.reshape(B, H, W)
+
+
+@functools.lru_cache(maxsize=None)
+def _strip_packed_cv(n: int, swb: int, slab_rows: int, row_block: int,
+                     interpret: bool | None):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(lp, E_shift, bs, edges, textures):
+        return _strip_packed_batched(
+            lp[None], E_shift[None], bs[None], n, edges, textures, swb,
+            slab_rows, row_block, interpret)[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, lp, E_shift, bs, edges, textures):
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size, *x.shape))
+
+        lp, E_shift, bs = (bcast(x, b) for x, b in
+                           zip((lp, E_shift, bs), in_batched[:3]))
+        if in_batched[3] or in_batched[4]:
+            out = jax.lax.map(
+                lambda a: f(*a),
+                (lp, E_shift, bs,
+                 jnp.broadcast_to(jnp.asarray(edges), (axis_size,)),
+                 jnp.broadcast_to(jnp.asarray(textures), (axis_size,))))
+        else:
+            out = _strip_packed_batched(lp, E_shift, bs, n, edges, textures,
+                                        swb, slab_rows, row_block, interpret)
+        return out, True
+
+    return f
+
+
+def strip_update_packed(lp, E_shift, bs, n: int, edges, textures, swb: int,
+                        slab_rows: int, row_block: int,
+                        interpret: bool | None = None):
+    """Packed-pair strip pipeline (gather2 -> chains -> scatter2), values
+    bitwise identical to the unpacked gather/energy/scatter composition.
+    Composable with `jax.vmap` (flattened batched kernels)."""
+    return _strip_packed_cv(n, swb, slab_rows, row_block, interpret)(
+        lp, E_shift, bs.astype(jnp.int32),
+        jnp.asarray(edges, jnp.float32), jnp.asarray(textures, jnp.float32))

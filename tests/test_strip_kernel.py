@@ -43,7 +43,11 @@ def test_scatter_strips_matches_update(rng):
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.parametrize("hw,blocksize", [((16, 256), 4), ((24, 384), 8)])
+@pytest.mark.parametrize("hw,blocksize",
+                         [((16, 256), 4),   # packed, nb=1 (odd dummy tail)
+                          ((24, 384), 8),   # packed, nb=1
+                          ((48, 384), 8),   # packed, nb=2 (even pairs)
+                          ((40, 512), 16)]) # packed n=16, nb=5 (odd tail)
 def test_carve_strip_pallas_matches_xla(hw, blocksize, rng):
     """Full carve: Pallas strip path == XLA strip path == full recompute."""
     H, W = hw
