@@ -102,6 +102,16 @@ def main():
             return s._replace(energy=en, width=s.width - 1)
         return jax.vmap(rec)(st, seams)
 
+    def body_strip_fused(i, st):
+        # as in the real loop: E_shift comes from the apply kernel for free
+        seams = fake_seams(i, st.width)
+
+        def rec(s, seam):
+            en = _recompute_strip_pallas(s, seam, 8, 0.0, 1.0, 1,
+                                         e_shift=s.energy)
+            return s._replace(energy=en, width=s.width - 1)
+        return jax.vmap(rec)(st, seams)
+
     def body_record(i, st):
         seams = fake_seams(i, st.width)
 
@@ -115,7 +125,8 @@ def main():
 
     assert strip_pallas_ok(H, W, 8, 1)
     stages = [("full", body_full), ("dp", body_dp), ("apply", body_apply),
-              ("strip", body_strip), ("record", body_record)]
+              ("strip", body_strip), ("stripF", body_strip_fused),
+              ("record", body_record)]
     only = sys.argv[5:]
     if only:
         stages = [s for s in stages if s[0] in only]
