@@ -111,6 +111,10 @@ def main(argv=None) -> int:
     c.add_argument("--checkpoint-every", type=int, default=32)
     c.add_argument("--resume", metavar="PATH", default=None,
                    help="resume an interrupted carve from a checkpoint")
+    c.add_argument("--no-resize-canvas", action="store_true",
+                   help="keep the original canvas size (resize_canvas=FALSE "
+                        "analog, src/main.h:19): removals zero-fill the "
+                        "vacated region, enlargements crop")
     c.add_argument("--spatial", action="store_true",
                    help="column-shard the image over the device mesh "
                         "(parallel.spatial; same seams as single-device)")
@@ -242,6 +246,7 @@ def main(argv=None) -> int:
         output_energy=args.output_energy is not None,
         output_seams=args.output_seams is not None,
         strip_update=not args.no_strip_update,
+        resize_canvas=not args.no_resize_canvas,
         parallel=(args.parallel or ("spatial" if args.spatial else "none")),
         **knobs,
     )

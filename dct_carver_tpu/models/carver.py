@@ -135,6 +135,16 @@ class Carver:
             )
             if vmap is None:
                 vmap, energy = vmap2, energy2
+        if not self.config.resize_canvas:
+            # src/main.h:19 resize_canvas=FALSE: keep the original canvas —
+            # the retargeted layer sits at the top-left (a GIMP layer offset
+            # of 0,0); shrunk dimensions zero-fill, grown ones crop
+            canvas = np.zeros((self._h, self._w) + result_img.shape[2:],
+                              result_img.dtype)
+            h = min(self._h, result_img.shape[0])
+            w = min(self._w, result_img.shape[1])
+            canvas[:h, :w] = result_img[:h, :w]
+            result_img = canvas
         return CarveResult(
             image=result_img,
             visibility_map=vmap if self.config.output_seams else None,

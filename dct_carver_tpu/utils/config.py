@@ -24,6 +24,13 @@ class CarverConfig:
     output_energy: bool = False # also produce the normalized energy image
     output_seams: bool = False  # also produce the seam visibility map
     vertically: bool = False    # retarget HEIGHT instead of width
+    # resize_canvas=FALSE analog (src/main.h:19, gimp_image_resize at
+    # src/render.c:386-392): keep the ORIGINAL canvas size — a removal
+    # places the carved layer at the top-left with the vacated region
+    # zero-filled; an enlargement is cropped to the canvas.  (The
+    # remaining PlugInVals field, new_layer, is a GIMP layer-stack concern
+    # with no analog here.)
+    resize_canvas: bool = True
 
     # --- liblqr lqr_carver_init generalization (src/render.c:313 uses 1, 0) ---
     delta_x: int = 1            # max seam step per row (>= 1)

@@ -113,6 +113,21 @@ def test_batch_carve_multidevice(make_image):
     np.testing.assert_array_equal(np.asarray(out[0]), single.image)
 
 
+def test_resize_canvas_false(make_image):
+    """resize_canvas=FALSE analog (src/main.h:19): the retargeted layer sits
+    top-left on the ORIGINAL canvas; removals zero-fill, enlargements crop."""
+    img = make_image(24, 32, c=3)
+    ref = carve(img, -6)
+    res = carve(img, -6, resize_canvas=False)
+    assert res.image.shape == img.shape
+    np.testing.assert_array_equal(res.image[:, :26], ref.image)
+    assert (res.image[:, 26:] == 0).all()
+    grown = carve(img, 5, resize_canvas=False)
+    gref = carve(img, 5)
+    assert grown.image.shape == img.shape
+    np.testing.assert_array_equal(grown.image, gref.image[:, :32])
+
+
 def test_api_parallel_spatial_matches_single(make_image):
     """The parallel='spatial' route of the top-level API must produce the
     IDENTICAL visibility map and image as the default single-device route
