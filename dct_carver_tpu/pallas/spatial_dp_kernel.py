@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .dp_kernel import _interpret_default, _parent_select
 
 __all__ = ["block_dp_rows", "block_dp_supported",
+           "block_dp_parts_rows", "block_dp_parts_supported",
            "seg_walk_rows", "seg_walk_supported",
            "sharded_apply_rows", "apply_supported"]
 
@@ -112,6 +113,82 @@ def block_dp_rows(ext_msg: jax.Array, col0, width, *,
         out_shape=_out_struct((Kb, We), jnp.float32, ext_msg),
         interpret=False,
     )(scal, ext_msg)
+
+
+def block_dp_parts_supported(Wl: int, Hh: int, delta_x: int = 1) -> bool:
+    return delta_x == 1 and Wl % LANE == 0 and Hh % LANE == 0
+
+
+def _make_block_dp_parts_kernel(Kb: int, Wl: int, Hh: int):
+    """Like `_make_block_dp_kernel` but the halo-extended rows are BUILT IN
+    VMEM from four separate operands (frontier, energy block, left/right
+    sliced halos) — the XLA-side (Kb+1, We) message concat and extended-
+    buffer materialization (~2 full-image passes per seam at 8K) vanish.
+    Requires lane-aligned Wl and Hh so the in-kernel concats are free."""
+    We = Wl + 2 * Hh
+    W2 = We + LANE
+
+    def kernel(scal_ref, prev_ref, e_ref, lh_ref, rh_ref, out_ref):
+        col0 = scal_ref[0]
+        width = scal_ref[1]
+        inf = jnp.float32(jnp.inf)
+        colids = jax.lax.broadcasted_iota(jnp.int32, (1, We), 1) + col0
+        valid = (colids >= 0) & (colids < width)
+        tail = jnp.full((1, LANE), inf, jnp.float32)
+
+        def ext_row(left, center, right):
+            row = jnp.concatenate([left, center, right], axis=1)
+            return jnp.concatenate([jnp.where(valid, row, inf), tail],
+                                   axis=1)
+
+        prev = ext_row(lh_ref[0:1, :], prev_ref[0:1, :], rh_ref[0:1, :])
+        rows = []
+        for r in range(Kb):  # static rows, frontier register-resident
+            e_row = ext_row(lh_ref[r + 1:r + 2, :], e_ref[r:r + 1, :],
+                            rh_ref[r + 1:r + 2, :])
+            left = pltpu.roll(prev, 1, axis=1)
+            right = pltpu.roll(prev, W2 - 1, axis=1)  # == shift -1
+            m = e_row + jnp.minimum(jnp.minimum(left, prev), right)
+            rows.append(m[:, :We])
+            prev = m
+        out_ref[:, :] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def block_dp_parts_rows(prev: jax.Array, E_blk: jax.Array, lh: jax.Array,
+                        rh: jax.Array, col0, width, *,
+                        interpret: bool | None = None) -> jax.Array:
+    """One K-row DP block from separate operands: prev (1, Wl) frontier,
+    E_blk (Kb, Wl), lh/rh (Kb+1, Hh) neighbor halo slices (row 0 = the
+    frontier's halo).  Returns (Kb, Wl + 2*Hh) M rows — bitwise identical
+    to `block_dp_rows` on the concatenated message (identical values in
+    identical positions; add/min only)."""
+    Kb, Wl = E_blk.shape
+    Hh = lh.shape[1]
+    if interpret is None:
+        interpret = _interpret_default()
+    scal = jnp.stack([jnp.asarray(col0, jnp.int32),
+                      jnp.asarray(width, jnp.int32)])
+    if interpret:
+        msg = jnp.concatenate([prev[None, :] if prev.ndim == 1 else prev,
+                               E_blk], axis=0)
+        ext = jnp.concatenate([lh, msg, rh], axis=1)
+        return _plain_block_dp(ext, scal[0], scal[1], Kb)
+    prev2 = prev[None, :] if prev.ndim == 1 else prev
+    return pl.pallas_call(
+        _make_block_dp_parts_kernel(Kb, Wl, Hh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=_out_struct((Kb, Wl + 2 * Hh), jnp.float32, E_blk),
+        interpret=False,
+    )(scal, prev2, E_blk, lh, rh)
 
 
 def _plain_block_dp(ext_msg, col0, width, Kb):

@@ -54,6 +54,8 @@ from ..ops.dct import energy_from_bands
 from ..ops.dp import _rigidity_penalties, _shift_row
 from ..ops.energy_fn import resolve_energy
 from ..pallas.spatial_dp_kernel import (block_dp_rows, block_dp_supported,
+                                        block_dp_parts_rows,
+                                        block_dp_parts_supported,
                                         seg_walk_rows, seg_walk_supported,
                                         sharded_apply_rows, apply_supported)
 from ..ops.carve import (_bands_energy, _strip_bounds, _strip_block_dims,
@@ -229,6 +231,20 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
     H, Wl = E_local.shape
     d = delta_x
     Hh = 2 * K * d
+    # parts path: halos ride as SEPARATE lane-aligned operands and the
+    # halo-extended rows are built inside the kernel — the per-block
+    # (Kb+1, Wl) message concat and (Kb+1, We) extended-buffer
+    # materialization (~2 full-image passes per seam at 8K) disappear.
+    # Hh rounds up to a lane multiple (more halo than the trapezoid needs
+    # is harmless — exactness is monotone in Hh); same 2 ppermutes/block.
+    use_parts = (use_pallas and rigidity == 0.0 and d == 1
+                 and Wl % 128 == 0)
+    if use_parts:
+        Hh_p = -(-Hh // 128) * 128
+        if Hh_p <= Wl and block_dp_parts_supported(Wl, Hh_p, d):
+            Hh = Hh_p
+        else:
+            use_parts = False
     We = Wl + 2 * Hh
     lo = idx * Wl
     inf = jnp.float32(jnp.inf)
@@ -237,6 +253,16 @@ def _sharded_dp(E_local, width, K: int, axis, unroll: bool = False,
     pen = _rigidity_penalties(d, rigidity, jnp.float32)
 
     def block(prev, E_blk):
+        if use_parts:
+            # one ppermute pair ships ONLY the Hh edge columns of the
+            # frontier + energy block; row assembly happens in VMEM
+            lh = _from_left(jnp.concatenate(
+                [prev[None, Wl - Hh:], E_blk[:, Wl - Hh:]], axis=0), axis)
+            rh = _from_right(jnp.concatenate(
+                [prev[None, :Hh], E_blk[:, :Hh]], axis=0), axis)
+            Ms = block_dp_parts_rows(prev, E_blk, lh, rh, lo - Hh, width)
+            return Ms[-1, Hh:Hh + Wl], Ms
+
         # one ppermute pair ships the frontier row + the K-row energy block
         msg = jnp.concatenate([prev[None, :], E_blk], axis=0)
         ext = _halo_gather(msg, Hh, Hh, axis)          # (Kb + 1, We)
@@ -298,8 +324,8 @@ def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
     d = delta_x
     idx = _axis_index(axis)
     lo = idx * Wl
-    Hh = 2 * K * d
     We = ext_M_rows.shape[1]
+    Hh = (We - Wl) // 2  # may exceed 2*K*d (lane-aligned parts path)
     owned = (j_bottom >= lo) & (j_bottom < lo + Wl)
     wstart = jnp.clip(j_bottom - lo + Hh - K * d, 0, We - (2 * K * d + 1))
     win = jax.lax.dynamic_slice(ext_M_rows, (0, wstart), (Kb, 2 * K * d + 1))
@@ -328,14 +354,16 @@ def _seg_walk(ext_M_rows, j_bottom, Wl: int, K: int, axis,
     return jax.lax.psum(seg_g, axis)
 
 
-def _sharded_backtrack(ext_M, width, K: int, axis, unroll: bool = False,
+def _sharded_backtrack(ext_M, width, K: int, axis, Wl: int,
+                       unroll: bool = False,
                        delta_x: int = 1, rigidity: float = 0.0,
                        use_pallas: bool = False, tie: str = "leftmost"):
     """Global tie-most-min backtrack over the blocked sharded M.
-    Returns (H,) global seam columns, replicated on every shard."""
+    Returns (H,) global seam columns, replicated on every shard.
+    `Wl` is the owned width (the ext halo may be wider than 2*K*delta_x on
+    the lane-aligned parts path, so it cannot be inferred from K)."""
     H, We = ext_M.shape
-    Hh = 2 * K * delta_x
-    Wl = We - 2 * Hh
+    Hh = (We - Wl) // 2
     idx = _axis_index(axis)
     lo = idx * Wl
     inf = jnp.float32(jnp.inf)
@@ -583,7 +611,7 @@ def _spatial_seam_step(st, label, blocksize: int, edges, textures, W: int,
     ext_M = _sharded_dp(E_l, width, K, axis, unroll=unroll,
                         delta_x=delta_x, rigidity=rigidity,
                         use_pallas=use_pallas)
-    seam = _sharded_backtrack(ext_M, width, K, axis, unroll=unroll,
+    seam = _sharded_backtrack(ext_M, width, K, axis, Wl, unroll=unroll,
                               delta_x=delta_x, rigidity=rigidity,
                               use_pallas=use_pallas, tie=tie)  # (H,)
 

@@ -113,7 +113,7 @@ def main():
         def b(i, st):
             luma_l, img_l, oc_l, vm_l, E_l, width = st
             ext_M = sp._sharded_dp(E_l, width, K, axis, use_pallas=True)
-            seam = sp._sharded_backtrack(ext_M, width, K, axis,
+            seam = sp._sharded_backtrack(ext_M, width, K, axis, Wl,
                                          use_pallas=True)
             E_l = E_l.at[0, 0].add(seam[0].astype(jnp.float32) * 1e-30)
             return (luma_l, img_l, oc_l, vm_l, E_l, width)
