@@ -353,7 +353,9 @@ def main():
         h, w, seams = 1080, 1920, 64  # config 2 shape, 8x8 blocks
 
     lumas = _mk_lumas(rng, h, w)
-    headline, t = _time_carve(lumas, seams, 8, strip_update=True)
+    # best-of-6: the fixed tunnel dispatch (~25-40 ms) is a large, NOISY
+    # fraction of a 64-seam 1080p carve; more draws tighten the best-case
+    headline, t = _time_carve(lumas, seams, 8, strip_update=True, repeats=6)
     _log(f"# headline {h}x{w} 8x8 strip-update: {headline:.1f} Mpix/s "
          f"({seams} seams in {t*1e3:.1f} ms, {t/seams*1e3:.3f} ms/seam)")
 
