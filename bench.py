@@ -352,9 +352,11 @@ def main():
     else:
         h, w, seams = 1080, 1920, 64  # config 2 shape, 8x8 blocks
 
-    lumas = _mk_lumas(rng, h, w)
-    # best-of-6: the fixed tunnel dispatch (~25-40 ms) is a large, NOISY
-    # fraction of a 64-seam 1080p carve; more draws tighten the best-case
+    # best-of-6 with SEVEN distinct inputs: the fixed tunnel dispatch
+    # (~25-40 ms) is a large, noisy fraction of a 64-seam 1080p carve, and
+    # every timed draw must be a fresh input (repeated identical calls can
+    # be served from a tunnel-side cache — _time_carve's own rule)
+    lumas = _mk_lumas(rng, h, w, k=7)
     headline, t = _time_carve(lumas, seams, 8, strip_update=True, repeats=6)
     _log(f"# headline {h}x{w} 8x8 strip-update: {headline:.1f} Mpix/s "
          f"({seams} seams in {t*1e3:.1f} ms, {t/seams*1e3:.3f} ms/seam)")

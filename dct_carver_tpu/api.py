@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .models.carver import Carver, CarveResult
@@ -33,7 +35,9 @@ def carve(
     "spatial" column-shards ONE image over the device mesh; "batch"
     data-parallels an image STACK — pass a (B, H, W[, C]) array and the
     result fields come back stacked over B; "auto" picks spatial with >1
-    device (batch for 4-D inputs).  Seams are route-independent.
+    device (batch for 4-D inputs).  Seams are route-independent, and every
+    knob (tie, energy, resize_canvas, output_energy/seams, ...) is honored
+    on every route.
     """
     image = np.asarray(image)
     cfg = CarverConfig(
@@ -57,16 +61,44 @@ def carve(
     return carver.resize(w + seams_number, h)
 
 
+@functools.cache
+def _batch_jits():
+    """Module-level jitted helpers for the batch route (cached so repeated
+    carve() calls with the same shapes hit the trace cache instead of
+    re-tracing through a throwaway lambda)."""
+    import jax
+
+    from .ops.carve import full_energy_map, reconstruct_enlarged
+    from .ops.energy import normalize_to_u8, to_luma
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def enlarge(images, vmaps, n):
+        return jax.vmap(
+            lambda im, vm: reconstruct_enlarged(im, vm, n))(images, vmaps)
+
+    @functools.partial(
+        jax.jit, static_argnames=("blocksize", "luma_mode", "energy_fn"))
+    def energy_u8(images, blocksize, edges, textures, luma_mode, energy_fn):
+        def one(im):
+            plane = to_luma(im, luma_mode)
+            e = full_energy_map(plane, blocksize, edges, textures,
+                                energy_fn=energy_fn)
+            return normalize_to_u8(e)  # per-image min-max, like the single route
+
+        return jax.vmap(one)(images)
+
+    return enlarge, energy_u8
+
+
 def _carve_stack(images: np.ndarray, seams_number: int,
                  cfg: CarverConfig) -> CarveResult:
     """Data-parallel carve of a (B, H, W[, C]) stack (parallel.mesh —
     BASELINE config 4).  Every image is carved independently, exactly as
     `render()` treats each invocation (src/render.c:327); results stack
-    over B."""
+    over B and every CarverConfig knob keeps its single-image meaning."""
     import jax
     import jax.numpy as jnp
 
-    from .ops.carve import reconstruct_enlarged
     from .parallel.mesh import carve_batch
 
     if images.ndim not in (3, 4):
@@ -83,31 +115,47 @@ def _carve_stack(images: np.ndarray, seams_number: int,
         )
     if cfg.vertically:
         images = np.swapaxes(images, 1, 2)
+    B, h0, w0 = images.shape[:3]
     n = abs(seams_number)
-    if n >= images.shape[2]:
+    if n >= w0:
         raise ValueError(
             f"cannot change dimension by {seams_number}: images are "
-            f"{images.shape[2]} wide")
+            f"{w0} wide")
+    enlarge_jit, energy_jit = _batch_jits()
+    energy = None
+    if cfg.output_energy:
+        # pre-carve energy export, per image (src/render.c:370-377 ordering)
+        energy = np.asarray(jax.device_get(energy_jit(
+            jnp.asarray(images), cfg.blocksize, cfg.edges, cfg.textures,
+            cfg.luma, cfg.energy_function)))
     kw = dict(
         blocksize=cfg.blocksize, edges=cfg.edges, textures=cfg.textures,
         strip_update=cfg.strip_update, energy=cfg.energy_function,
         luma=cfg.luma, delta_x=cfg.delta_x, rigidity=cfg.rigidity,
-        tie=cfg.tie,
+        tie=cfg.tie, use_pallas=cfg.use_pallas,
     )
     if seams_number < 0:
         out, vmaps = carve_batch(images, n, **kw)
     else:
         _, vmaps = carve_batch(images, n, reconstruct=False, **kw)
-        out = jax.jit(jax.vmap(
-            lambda im, vm: reconstruct_enlarged(im, vm, n)
-        ))(jnp.asarray(images), vmaps)
+        out = enlarge_jit(jnp.asarray(images), vmaps, n)
     out = np.asarray(jax.device_get(out))
     vmaps = np.asarray(jax.device_get(vmaps))
+    if not cfg.resize_canvas:
+        # resize_canvas=FALSE analog (src/main.h:19), per image: removals
+        # zero-fill the vacated region on the original canvas, enlargements
+        # crop — identical semantics to the single-image route
+        canvas = np.zeros((B, h0, w0) + out.shape[3:], out.dtype)
+        w = min(w0, out.shape[2])
+        canvas[:, :, :w] = out[:, :, :w]
+        out = canvas
     if cfg.vertically:
         out = np.swapaxes(out, 1, 2)
         vmaps = np.swapaxes(vmaps, 1, 2)
+        if energy is not None:
+            energy = np.swapaxes(energy, 1, 2)
     return CarveResult(
         image=out,
         visibility_map=vmaps if cfg.output_seams else None,
-        energy_image=None,  # per-image export: use Carver(...).energy_image()
+        energy_image=energy,
     )

@@ -190,7 +190,8 @@ def main(argv=None) -> int:
             img, args.max_seams, blocksize=args.blocksize, edges=args.edges,
             textures=args.textures, luma=args.luma, delta_x=args.delta_x,
             rigidity=args.rigidity, vertical=args.vertically,
-            strip_update=not args.no_strip_update,
+            strip_update=not args.no_strip_update, tie=args.tie,
+            energy=args.energy,
         )
         dim = img.shape[0] if args.vertically else img.shape[1]
         widths = args.widths or [

@@ -65,6 +65,7 @@ class InteractiveRetargeter:
             config.textures, strip_update=config.strip_update,
             use_pallas=None if config.use_pallas else False,
             delta_x=config.delta_x, rigidity=config.rigidity,
+            energy_fn=config.energy_function, tie=config.tie,
         )
         self._vmap = state.vmap  # ordered seams, original coordinates
 

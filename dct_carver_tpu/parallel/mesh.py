@@ -34,7 +34,8 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
 @functools.partial(
     jax.jit,
     static_argnames=("n_seams", "blocksize", "strip_update", "luma_mode",
-                     "energy_fn", "delta_x", "rigidity", "tie"),
+                     "energy_fn", "delta_x", "rigidity", "tie",
+                     "use_pallas"),
 )
 def batch_carve_states(
     images: jax.Array,
@@ -48,6 +49,7 @@ def batch_carve_states(
     delta_x: int = 1,
     rigidity: float = 0.0,
     tie: str = "leftmost",
+    use_pallas: bool = True,
 ):
     """vmap'ed carve over a batch of identically-shaped images (B,H,W[,C]).
 
@@ -59,6 +61,7 @@ def batch_carve_states(
         lambda l: carve_ops.carve_n_seams(
             l, n_seams, blocksize, edges, textures, strip_update=strip_update,
             energy_fn=energy_fn, delta_x=delta_x, rigidity=rigidity, tie=tie,
+            use_pallas=None if use_pallas else False,
         )
     )(lumas)
 
@@ -78,6 +81,7 @@ def carve_batch(
     delta_x: int = 1,
     rigidity: float = 0.0,
     tie: str = "leftmost",
+    use_pallas: bool = True,
 ):
     """Remove `n_seams` vertical seams from every image in a batch, data-parallel
     over `mesh` (config 4 of BASELINE.md: 1024 × 1-Mpix images, 128 seams).
@@ -104,7 +108,7 @@ def carve_batch(
     states = batch_carve_states(
         images, n_seams, blocksize, edges, textures, strip_update,
         luma_mode=luma, energy_fn=resolve_energy(energy),
-        delta_x=delta_x, rigidity=rigidity, tie=tie,
+        delta_x=delta_x, rigidity=rigidity, tie=tie, use_pallas=use_pallas,
     )
     if not reconstruct:
         return None, states.vmap[:B]

@@ -175,6 +175,35 @@ def test_api_parallel_batch_stack(make_image):
         carve(imgs[0, ..., 0], -3, parallel="batch")
 
 
+def test_batch_route_honors_all_knobs(make_image):
+    """The batch route must honor every knob like the single-image route:
+    output_energy, resize_canvas, tie (per-image identical results)."""
+    imgs = np.stack([make_image(16, 24, c=3) for _ in range(3)])
+    res = carve(imgs, -3, parallel="batch", output_energy=True,
+                resize_canvas=False, tie="rightmost")
+    single = carve(imgs[1], -3, output_energy=True, resize_canvas=False,
+                   tie="rightmost")
+    assert res.image.shape == imgs.shape  # canvas kept
+    np.testing.assert_array_equal(res.image[1], single.image)
+    np.testing.assert_array_equal(res.energy_image[1], single.energy_image)
+
+
+def test_retargeter_honors_tie_and_energy(make_image):
+    """The interactive precompute path must honor the tie and energy knobs
+    (they silently defaulted before round 5's review)."""
+    img = np.full((12, 32, 3), 99, np.uint8)  # all-ties image
+    rt_l = InteractiveRetargeter(img, 2, tie="leftmost")
+    rt_r = InteractiveRetargeter(img, 2, tie="rightmost")
+    lcols = np.argwhere(rt_l.visibility_map == 1)[:, 1]
+    rcols = np.argwhere(rt_r.visibility_map == 1)[:, 1]
+    assert (lcols == 0).all() and (rcols == 31).all()
+    img2 = make_image(16, 24, c=3)
+    rt_g = InteractiveRetargeter(img2, 3, energy="grad_norm")
+    ref = carve(img2, -3, energy="grad_norm", output_seams=True)
+    got = rt_g.at_width(21)
+    np.testing.assert_array_equal(got, ref.image)
+
+
 def test_cli_spatial_flag(tmp_path, make_image):
     """dct-carver carve --spatial must produce the identical output to the
     single-device CLI run."""
