@@ -50,7 +50,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.dct import energy_from_bands
 from ..ops.dp import _rigidity_penalties, _shift_row
 from ..ops.energy_fn import resolve_energy
 from ..pallas.spatial_dp_kernel import (block_dp_rows, block_dp_supported,
@@ -73,7 +72,6 @@ __all__ = ["spatial_carve_n_seams", "spatial_enlarge_n_seams",
 # per-seam collective count 412 -> 142 (the 2-host scaling lever,
 # docs/SCALING.md).  Seams are identical for any K (trapezoid exactness).
 FRONTIER_BLOCK = 96
-STRIP_ROWS = 8       # min rows per strip-update block (see _spatial_strip_rows)
 
 
 def collectives_per_seam(H: int, K: int = FRONTIER_BLOCK,
