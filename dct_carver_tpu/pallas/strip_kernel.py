@@ -486,14 +486,16 @@ def packed_strip_row_block(H: int, blocksize: int,
     return None
 
 
-def _pair_group(n_pairs: int) -> int:
-    """Pairs per grid step: the strip kernels are per-grid-step-overhead
-    bound (~1.5-2.5 us/step measured on the v5e), so fewer, fatter steps
-    with all the group's DMAs in flight together win; bounded by VMEM."""
-    for G in (8, 4, 2):
-        if n_pairs % G == 0:
-            return G
-    return 1
+PAIR_GROUP = 8
+
+
+def _padded_pairs(n_blocks: int) -> int:
+    """Pairs per call after padding the block list to a multiple of
+    2*PAIR_GROUP: the strip kernels are per-grid-step-overhead bound, so
+    every call runs fully grouped; dummy tail blocks clamp to the last
+    real block (their writes duplicate identical bytes — benign)."""
+    n_pairs = -(-n_blocks // 2)
+    return -(-n_pairs // PAIR_GROUP) * PAIR_GROUP
 
 
 def _make_gather2_kernel(slab_rows: int, row_block: int,
@@ -557,12 +559,15 @@ def _make_gather2_kernel(slab_rows: int, row_block: int,
 
 def _gather2_slabs_call(lp2, bs1, slab_rows, row_block, blocks_per_image,
                         stride, interpret=None):
-    """Paired gather: (n_pairs * slab_rows, LANE) packed slabs."""
+    """Paired gather: (n_pairs * slab_rows, LANE) packed slabs (n_pairs
+    padded to a PAIR_GROUP multiple; dummy tail slabs duplicate the last
+    real block and are never consumed)."""
     if interpret is None:
         interpret = _interpret_default()
     n_blocks = bs1.shape[0]
-    n_pairs = -(-n_blocks // 2)
-    G = _pair_group(n_pairs)
+    n_pairs = _padded_pairs(n_blocks)
+    G = min(PAIR_GROUP, n_pairs)
+    bs1 = jnp.pad(bs1, (0, 2 * n_pairs - n_blocks), mode="edge")
     return pl.pallas_call(
         _make_gather2_kernel(slab_rows, row_block, blocks_per_image, stride,
                              n_blocks, G),
@@ -658,8 +663,9 @@ def _scatter2_strips_call(E2, strips2, bs1, swb, row_block, interpret=None):
     if interpret is None:
         interpret = _interpret_default()
     n_blocks = bs1.shape[0]
-    n_pairs = -(-n_blocks // 2)
-    G = _pair_group(n_pairs)
+    n_pairs = _padded_pairs(n_blocks)
+    G = min(PAIR_GROUP, n_pairs)
+    bs1 = jnp.pad(bs1, (0, 2 * n_pairs - n_blocks), mode="edge")
     return pl.pallas_call(
         _make_scatter2_kernel(swb, row_block, n_blocks, G),
         grid=(n_pairs // G,),
@@ -688,7 +694,8 @@ def _strip_energy2_call(slabs2, n, edges, textures, R, slab_rows,
     if interpret is None:
         interpret = _interpret_default()
     n_pairs = slabs2.shape[0] // slab_rows
-    G = _pair_group(n_pairs)
+    G = min(PAIR_GROUP, n_pairs)
+    assert n_pairs % G == 0, (n_pairs, G)  # guaranteed by _padded_pairs
     fscal = jnp.stack([
         jnp.asarray(edges, jnp.float32),
         jnp.asarray(textures, jnp.float32),
