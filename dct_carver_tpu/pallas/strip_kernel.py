@@ -489,13 +489,25 @@ def packed_strip_row_block(H: int, blocksize: int,
 PAIR_GROUP = 8
 
 
+def _group_of(n_pairs: int) -> int:
+    """Pairs per grid step: the strip kernels are per-grid-step-overhead
+    bound, so fatter steps win — capped at the largest power of two not
+    exceeding the REAL pair count, so tail padding never more than doubles
+    the work (padding a 2-pair call to 8 quadruples the unrolled interpret
+    program and can crash the XLA:CPU compiler on big suites)."""
+    G = 1
+    while G * 2 <= min(PAIR_GROUP, n_pairs):
+        G *= 2
+    return G
+
+
 def _padded_pairs(n_blocks: int) -> int:
-    """Pairs per call after padding the block list to a multiple of
-    2*PAIR_GROUP: the strip kernels are per-grid-step-overhead bound, so
-    every call runs fully grouped; dummy tail blocks clamp to the last
-    real block (their writes duplicate identical bytes — benign)."""
+    """Pairs per call after padding the block list to a multiple of the
+    group size; dummy tail blocks clamp to the last real block (their
+    writes duplicate identical bytes — benign)."""
     n_pairs = -(-n_blocks // 2)
-    return -(-n_pairs // PAIR_GROUP) * PAIR_GROUP
+    G = _group_of(n_pairs)
+    return -(-n_pairs // G) * G
 
 
 def _make_gather2_kernel(slab_rows: int, row_block: int,
@@ -566,7 +578,7 @@ def _gather2_slabs_call(lp2, bs1, slab_rows, row_block, blocks_per_image,
         interpret = _interpret_default()
     n_blocks = bs1.shape[0]
     n_pairs = _padded_pairs(n_blocks)
-    G = min(PAIR_GROUP, n_pairs)
+    G = _group_of(-(-n_blocks // 2))
     bs1 = jnp.pad(bs1, (0, 2 * n_pairs - n_blocks), mode="edge")
     return pl.pallas_call(
         _make_gather2_kernel(slab_rows, row_block, blocks_per_image, stride,
@@ -664,7 +676,7 @@ def _scatter2_strips_call(E2, strips2, bs1, swb, row_block, interpret=None):
         interpret = _interpret_default()
     n_blocks = bs1.shape[0]
     n_pairs = _padded_pairs(n_blocks)
-    G = min(PAIR_GROUP, n_pairs)
+    G = _group_of(-(-n_blocks // 2))
     bs1 = jnp.pad(bs1, (0, 2 * n_pairs - n_blocks), mode="edge")
     return pl.pallas_call(
         _make_scatter2_kernel(swb, row_block, n_blocks, G),
@@ -693,8 +705,8 @@ def _strip_energy2_call(slabs2, n, edges, textures, R, slab_rows,
     (n_pairs * R, LANE); valid lanes [0, swb) and [SLOT, SLOT + swb)."""
     if interpret is None:
         interpret = _interpret_default()
-    n_pairs = slabs2.shape[0] // slab_rows
-    G = min(PAIR_GROUP, n_pairs)
+    n_pairs = slabs2.shape[0] // slab_rows   # already group-padded
+    G = _group_of(n_pairs)
     assert n_pairs % G == 0, (n_pairs, G)  # guaranteed by _padded_pairs
     fscal = jnp.stack([
         jnp.asarray(edges, jnp.float32),
